@@ -1,0 +1,184 @@
+"""Flax U-Net for PDE-constrained cell segmentation (TPU-native, NHWC).
+
+Same topology / channel plan / dropout schedule / activation zoo as the
+reference PyTorch model (/root/reference/src/unet.py:19-216):
+
+* 4-level encoder 64→128→256→512 with 2×2 max-pool downsampling,
+* 512-channel bottleneck (NOT 1024 — quirk of the reference,
+  /root/reference/src/unet.py:129),
+* ConvTranspose(k=2, s=2) upsampling + channel-concat skip connections,
+* DoubleConv = Conv3×3 → act → (spatial Dropout) → Conv3×3 → act, with
+  **no normalisation layers**,
+* graded dropout 0 / 0.5·d / d by depth,
+* 1×1 output conv + sigmoid (or tanh rescaled to (0,1)),
+* 7 selectable intermediate activations incl. Mish and PReLU.  As in the
+  reference, a single PReLU weight is shared by both convs of a block
+  (/root/reference/src/unet.py:26-40 shares one activation module).
+
+Parameter count parity: 20,543,809 trainable parameters at
+``base_channels=64`` (checked in ``tests/test_unet.py``).
+
+TPU-first choices: NHWC layout end-to-end (MXU-friendly), configurable
+compute dtype (bfloat16 by default for training speed, float32 params),
+`jax.nn.gelu(approximate=False)` to match torch's exact-erf GELU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["UNet", "DoubleConv", "mish", "count_parameters", "ACTIVATIONS"]
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    """Mish activation ``x * tanh(softplus(x))`` (/root/reference/src/unet.py:70-76)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+# Activation zoo of /root/reference/src/unet.py:44-64.  PReLU is handled
+# separately inside DoubleConv because it carries a learnable parameter.
+ACTIVATIONS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
+    "relu": jax.nn.relu,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "elu": lambda x: jax.nn.elu(x, alpha=1.0),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+    "mish": mish,
+}
+
+
+def _check_activation(name: str) -> str:
+    lower = name.lower()
+    if lower not in ACTIVATIONS and lower != "prelu":
+        raise ValueError(
+            f"Unsupported activation: {name}. Must be one of: relu, leaky_relu, "
+            "elu, gelu, swish/silu, mish, prelu"
+        )
+    return lower
+
+
+class DoubleConv(nn.Module):
+    """Conv3×3 → act → (spatial dropout) → Conv3×3 → act
+    (/root/reference/src/unet.py:19-67).
+
+    Dropout is channel-wise (torch ``Dropout2d`` semantics): the same
+    mask is broadcast over H and W.
+    """
+
+    features: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        act_name = _check_activation(self.activation)
+        if act_name == "prelu":
+            # One shared weight for both convs of the block, matching the
+            # reference's shared nn.PReLU() module instance.
+            alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
+            alpha = alpha.astype(self.dtype)
+            act = lambda v: jnp.where(v >= 0, v, alpha * v)
+        else:
+            act = ACTIVATIONS[act_name]
+
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = act(x)
+        if self.dropout > 0:
+            # broadcast over (H, W) => channel dropout, like nn.Dropout2d.
+            x = nn.Dropout(
+                rate=self.dropout, broadcast_dims=(1, 2), deterministic=deterministic
+            )(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        return act(x)
+
+
+class UNet(nn.Module):
+    """Standard U-Net (/root/reference/src/unet.py:79-216), NHWC.
+
+    Args:
+      in_channels / out_channels / base_channels / dropout /
+      output_activation / intermediate_activation: as in the reference.
+      dtype: compute dtype (params stay float32).  The returned
+        probability map is always cast back to float32 so loss/metric
+        accumulation stays full precision.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    base_channels: int = 64
+    dropout: float = 0.2
+    output_activation: str = "sigmoid"
+    intermediate_activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.output_activation.lower() not in ("sigmoid", "tanh"):
+            raise ValueError(
+                f"Unsupported output_activation: {self.output_activation}. "
+                "Must be 'sigmoid' or 'tanh'"
+            )
+        _check_activation(self.intermediate_activation)
+        c, act, d, dt = (
+            self.base_channels,
+            self.intermediate_activation,
+            self.dropout,
+            self.dtype,
+        )
+        # Dropout schedule of /root/reference/src/unet.py:120-154.
+        self.enc1 = DoubleConv(c, 0.0, act, dt)
+        self.enc2 = DoubleConv(c * 2, d * 0.5, act, dt)
+        self.enc3 = DoubleConv(c * 4, d, act, dt)
+        self.enc4 = DoubleConv(c * 8, d, act, dt)
+        self.bottleneck = DoubleConv(c * 8, d, act, dt)
+        self.up4 = nn.ConvTranspose(c * 8, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
+        self.dec4 = DoubleConv(c * 8, d, act, dt)
+        self.up3 = nn.ConvTranspose(c * 4, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
+        self.dec3 = DoubleConv(c * 4, d * 0.5, act, dt)
+        self.up2 = nn.ConvTranspose(c * 2, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
+        self.dec2 = DoubleConv(c * 2, d * 0.5, act, dt)
+        self.up1 = nn.ConvTranspose(c, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
+        self.dec1 = DoubleConv(c, 0.0, act, dt)
+        self.out_conv = nn.Conv(self.out_channels, (1, 1), dtype=dt)
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        """(B, H, W, C_in) → probability map (B, H, W, out_channels) in (0, 1)."""
+        x = x.astype(self.dtype)
+        pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))
+
+        e1 = self.enc1(x, deterministic=deterministic)
+        e2 = self.enc2(pool(e1), deterministic=deterministic)
+        e3 = self.enc3(pool(e2), deterministic=deterministic)
+        e4 = self.enc4(pool(e3), deterministic=deterministic)
+
+        b = self.bottleneck(pool(e4), deterministic=deterministic)
+
+        d4 = self.dec4(
+            jnp.concatenate([self.up4(b), e4], axis=-1), deterministic=deterministic
+        )
+        d3 = self.dec3(
+            jnp.concatenate([self.up3(d4), e3], axis=-1), deterministic=deterministic
+        )
+        d2 = self.dec2(
+            jnp.concatenate([self.up2(d3), e2], axis=-1), deterministic=deterministic
+        )
+        d1 = self.dec1(
+            jnp.concatenate([self.up1(d2), e1], axis=-1), deterministic=deterministic
+        )
+
+        out = self.out_conv(d1).astype(jnp.float32)
+        if self.output_activation.lower() == "sigmoid":
+            return jax.nn.sigmoid(out)
+        # tanh rescaled to (0, 1) (/root/reference/src/unet.py:211-214)
+        return (jnp.tanh(out) + 1.0) / 2.0
+
+
+def count_parameters(params) -> int:
+    """Number of trainable parameters (/root/reference/src/unet.py:220-230)."""
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

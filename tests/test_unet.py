@@ -1,0 +1,99 @@
+"""Flax U-Net: parameter parity, shapes, activations, dropout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_informed_image_segmentation_tpu.models import UNet, count_parameters
+
+REFERENCE_PARAM_COUNT = 20_543_809  # /root/reference/src/unet.py:220-230 measured
+
+
+def _init(model, shape=(1, 32, 32, 1)):
+    return model.init(jax.random.key(0), jnp.zeros(shape))
+
+
+def test_param_count_matches_reference():
+    model = UNet(in_channels=1, out_channels=1, base_channels=64)
+    params = _init(model)
+    assert count_parameters(params) == REFERENCE_PARAM_COUNT
+
+
+def test_forward_shape_and_range():
+    model = UNet(base_channels=8)
+    params = _init(model, (2, 64, 64, 1))
+    out = model.apply(params, jnp.ones((2, 64, 64, 1)))
+    assert out.shape == (2, 64, 64, 1)
+    assert out.dtype == jnp.float32
+    o = np.asarray(out)
+    assert (o > 0).all() and (o < 1).all()
+
+
+def test_tanh_output_rescaled_to_unit_interval():
+    model = UNet(base_channels=8, output_activation="tanh")
+    params = _init(model)
+    out = np.asarray(model.apply(params, jnp.ones((1, 32, 32, 1))))
+    assert (out > 0).all() and (out < 1).all()
+
+
+@pytest.mark.parametrize(
+    "act", ["relu", "leaky_relu", "elu", "gelu", "swish", "mish", "prelu"]
+)
+def test_all_activations_run(act):
+    model = UNet(base_channels=4, intermediate_activation=act)
+    params = _init(model)
+    out = model.apply(params, jnp.ones((1, 16, 16, 1)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_prelu_one_shared_weight_per_block():
+    model = UNet(base_channels=4, intermediate_activation="prelu")
+    params = _init(model)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    prelu_leaves = [p for p, v in flat if "prelu" in str(p)]
+    # 9 DoubleConv blocks, one scalar weight each (reference quirk:
+    # a single nn.PReLU instance shared by both convs of a block).
+    assert len(prelu_leaves) == 9
+
+
+def test_invalid_activation_raises():
+    with pytest.raises(ValueError):
+        _init(UNet(base_channels=4, intermediate_activation="nope"))
+    with pytest.raises(ValueError):
+        _init(UNet(base_channels=4, output_activation="softmax"))
+
+
+def test_dropout_train_vs_eval():
+    model = UNet(base_channels=8, dropout=0.5)
+    params = _init(model)
+    x = jnp.ones((1, 32, 32, 1))
+    eval1 = model.apply(params, x, deterministic=True)
+    eval2 = model.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+    train1 = model.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.key(1)}
+    )
+    train2 = model.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.key(2)}
+    )
+    assert not np.allclose(np.asarray(train1), np.asarray(train2))
+
+
+def test_bfloat16_compute_dtype():
+    model = UNet(base_channels=8, dtype=jnp.bfloat16)
+    params = _init(model)
+    # params stay float32
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
+    )
+    out = model.apply(params, jnp.ones((1, 32, 32, 1)))
+    assert out.dtype == jnp.float32  # cast back for loss accumulation
+
+
+def test_jit_forward():
+    model = UNet(base_channels=8)
+    params = _init(model)
+    f = jax.jit(lambda p, x: model.apply(p, x))
+    out = f(params, jnp.ones((1, 32, 32, 1)))
+    assert out.shape == (1, 32, 32, 1)
