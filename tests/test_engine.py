@@ -1,0 +1,211 @@
+"""Training engine tests: steps, epochs, early stopping, checkpoints."""
+
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_informed_image_segmentation_tpu.data import (
+    DeviceDataset,
+    epoch_batch_indices,
+    make_blobs,
+)
+from physics_informed_image_segmentation_tpu.models import UNet
+from physics_informed_image_segmentation_tpu.train import (
+    EarlyStopping,
+    EPOCH_CSV_FIELDS,
+    LossConfig,
+    create_train_state,
+    make_eval_epoch_fn,
+    make_train_epoch_fn,
+    restore_train_state,
+    save_train_state,
+    train_stage,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_data():
+    images, masks = make_blobs(12, 32, 32, seed=0)
+    data = DeviceDataset.from_numpy(images, masks)
+    model = UNet(base_channels=4, dropout=0.1)
+    return model, data
+
+
+@pytest.fixture
+def tiny_setup(model_and_data):
+    # fresh state per test: the jitted train epoch donates (consumes) it
+    model, data = model_and_data
+    state = create_train_state(
+        model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1)
+    )
+    return model, state, data
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        es = EarlyStopping(patience=3, min_delta=1e-4, mode="max")
+        scores = [0.5, 0.6, 0.6, 0.6, 0.6]
+        stops = [es(s, i + 1) for i, s in enumerate(scores)]
+        assert stops == [False, False, False, False, True]
+        assert es.best_epoch == 2
+        assert es.best_score == 0.6
+
+    def test_improvement_resets_counter(self):
+        es = EarlyStopping(patience=2, mode="max")
+        assert not es(0.5, 1)
+        assert not es(0.5, 2)  # counter 1
+        assert not es(0.7, 3)  # improved, reset
+        assert not es(0.7, 4)  # counter 1
+        assert es(0.7, 5)  # counter 2 -> stop
+
+    def test_min_mode(self):
+        es = EarlyStopping(patience=1, mode="min")
+        assert not es(1.0, 1)
+        assert not es(0.5, 2)
+        assert es(0.6, 3)
+
+
+class TestEpochFns:
+    def test_train_epoch_improves_loss(self, tiny_setup):
+        model, state, data = tiny_setup
+        cfg = LossConfig(backend="jax")
+        train_fn = make_train_epoch_fn(model, cfg)
+        idx, valid = epoch_batch_indices(data.n, 4, shuffle=True, key=jax.random.key(1))
+        losses = []
+        for _ in range(5):
+            state, res = train_fn(state, data.images, data.masks, idx, valid)
+            losses.append(float(res["loss"]))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(losses))
+
+    def test_metrics_keys_and_ranges(self, tiny_setup):
+        model, state, data = tiny_setup
+        cfg = LossConfig(
+            pde_weight=1e-4, phase_field_weight=1e-4, diffusion_coeff=5.0, backend="jax"
+        )
+        train_fn = make_train_epoch_fn(model, cfg)
+        eval_fn = make_eval_epoch_fn(model, cfg)
+        idx, valid = epoch_batch_indices(data.n, 4, shuffle=False)
+        state2, res = train_fn(state, data.images, data.masks, idx, valid)
+        for k in (
+            "loss", "dice_loss", "bce_loss", "pde_loss", "phase_field_loss",
+            "dice_score", "iou_score", "boundary_f1_score",
+        ):
+            assert k in res and np.isfinite(float(res[k])), k
+        assert float(res["pde_loss"]) > 0
+        assert 0 <= float(res["dice_score"]) <= 1
+        vres = eval_fn(state2.params, data.images, data.masks, idx, valid)
+        assert 0 <= float(vres["dice_score"]) <= 1
+        assert "iou_score" in vres and "boundary_f1_score" in vres
+
+    def test_val_dice_is_batch_mean_of_global_dice(self, tiny_setup):
+        """Reference quirk: validate() reports batch-mean GLOBAL dice
+        (/root/reference/src/train.py:221-222), not per-sample mean."""
+        from physics_informed_image_segmentation_tpu.ops import metrics as M
+
+        model, state, data = tiny_setup
+        eval_fn = make_eval_epoch_fn(model, LossConfig(backend="jax"))
+        idx, valid = epoch_batch_indices(data.n, 5, shuffle=False)  # ragged: 12 = 5+5+2
+        res = eval_fn(state.params, data.images, data.masks, idx, valid)
+        # manual recomputation
+        preds = model.apply(state.params, data.images, deterministic=True)
+        vals = []
+        for b in range(idx.shape[0]):
+            sel = np.asarray(idx[b])[np.asarray(valid[b]) > 0]
+            vals.append(
+                float(
+                    M.dice_score(preds[sel][..., 0], data.masks[sel][..., 0])
+                )
+            )
+        np.testing.assert_allclose(float(res["dice_score"]), np.mean(vals), rtol=1e-5)
+
+    def test_deterministic_given_same_seed(self, tiny_setup):
+        model, _, data = tiny_setup
+        cfg = LossConfig(backend="jax")
+        train_fn = make_train_epoch_fn(model, cfg)
+        idx, valid = epoch_batch_indices(data.n, 4, shuffle=True, key=jax.random.key(7))
+
+        outs = []
+        for _ in range(2):
+            st = create_train_state(
+                model, jax.random.key(3), 1e-3, input_shape=(1, 32, 32, 1)
+            )
+            st, res = train_fn(st, data.images, data.masks, idx, valid)
+            outs.append((float(res["loss"]), jax.device_get(st.params)))
+        assert outs[0][0] == outs[1][0]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), outs[0][1], outs[1][1]
+        )
+
+
+class TestTrainStage:
+    def test_stage_runs_and_writes_csv(self, tiny_setup, tmp_path):
+        model, state, data = tiny_setup
+        cfg = LossConfig(backend="jax")
+        csv_path = tmp_path / "metrics.csv"
+        state, best, best_epoch, all_metrics = train_stage(
+            state,
+            make_train_epoch_fn(model, cfg),
+            make_eval_epoch_fn(model, cfg),
+            data,
+            data,
+            batch_size=4,
+            num_epochs=2,
+            stage_name="T",
+            shuffle_key=jax.random.key(0),
+            verbose=False,
+            csv_path=csv_path,
+        )
+        assert len(all_metrics) == 2
+        assert best_epoch in (1, 2)
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert list(rows[0].keys()) == EPOCH_CSV_FIELDS
+
+    def test_early_stop_breaks_loop(self, tiny_setup):
+        model, state, data = tiny_setup
+        cfg = LossConfig(backend="jax")
+        es = EarlyStopping(patience=1, min_delta=10.0)  # impossible improvement
+        state, best, best_epoch, all_metrics = train_stage(
+            state,
+            make_train_epoch_fn(model, cfg),
+            make_eval_epoch_fn(model, cfg),
+            data,
+            data,
+            batch_size=4,
+            num_epochs=10,
+            stage_name="T",
+            shuffle_key=jax.random.key(0),
+            early_stopping=es,
+            verbose=False,
+        )
+        assert len(all_metrics) == 2  # epoch1 sets best, epoch2 triggers stop
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tiny_setup, tmp_path):
+        model, state, data = tiny_setup
+        cfg = LossConfig(backend="jax")
+        train_fn = make_train_epoch_fn(model, cfg)
+        idx, valid = epoch_batch_indices(data.n, 4, shuffle=False)
+        state, _ = train_fn(state, data.images, data.masks, idx, valid)
+        save_train_state(state, tmp_path / "ckpt")
+
+        fresh = create_train_state(
+            model, jax.random.key(99), 1e-3, input_shape=(1, 32, 32, 1)
+        )
+        restored = restore_train_state(fresh, tmp_path / "ckpt")
+        assert int(restored.step) == int(state.step)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(state.params),
+            jax.device_get(restored.params),
+        )
+        # resumed training continues identically
+        s1, r1 = train_fn(state, data.images, data.masks, idx, valid)
+        s2, r2 = train_fn(restored, data.images, data.masks, idx, valid)
+        assert float(r1["loss"]) == float(r2["loss"])

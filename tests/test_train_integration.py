@@ -1,0 +1,113 @@
+"""End-to-end train() integration tests on synthetic data (CPU)."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from physics_informed_image_segmentation_tpu.data import DeviceDataset, make_blobs
+from physics_informed_image_segmentation_tpu.train import train
+
+
+@pytest.fixture(scope="module")
+def blob_splits():
+    tr = DeviceDataset.from_numpy(*make_blobs(12, 32, 32, seed=0))
+    va = DeviceDataset.from_numpy(*make_blobs(6, 32, 32, seed=1))
+    te = DeviceDataset.from_numpy(*make_blobs(6, 32, 32, seed=2))
+    return tr, va, te
+
+
+def _small_train(tmp_path, blob_splits, **kw):
+    tr, va, te = blob_splits
+    defaults = dict(
+        train_data=tr,
+        val_data=va,
+        test_data=te,
+        stage1_epochs=2,
+        stage2_epochs=2,
+        batch_size=4,
+        data_root=tmp_path,
+        precision="f32",
+        physics_backend="jax",
+        make_plots=False,
+        verbose=False,
+        seed=0,
+    )
+    defaults.update(kw)
+    return train(**defaults)
+
+
+def test_two_stage_end_to_end(tmp_path, blob_splits):
+    res = _small_train(tmp_path, blob_splits, make_plots=True)
+    # both artifacts exist
+    assert res["baseline_model"].exists()
+    assert res["pde_model"].exists()
+    # CSVs have exact schema and 2 rows each
+    for key in ("stage1_csv", "stage2_csv"):
+        with open(res[key]) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+    # stage2 CSV has nonzero pde loss
+    with open(res["stage2_csv"]) as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[0]["train_pde_loss"]) > 0
+    assert float(rows[0]["train_phase_field_loss"]) > 0
+    # test metrics persisted as CSV+JSON pairs
+    out = tmp_path / "output"
+    json_files = list(out.glob("test_metrics_stage2_*.json"))
+    assert json_files
+    data = json.loads(json_files[0].read_text())
+    assert set(data["per_image_metrics"]) == {
+        "dice_scores",
+        "iou_scores",
+        "boundary_f1_scores",
+        "hausdorff_distances",
+    }
+    assert len(data["per_image_metrics"]["dice_scores"]) == 6
+    # plots rendered
+    assert (out / "two_stage_comparison.png").exists()
+    assert (out / "combined_loss_stage1_stage2.png").exists()
+    assert res["images_per_sec"] > 0
+
+
+def test_single_stage(tmp_path, blob_splits):
+    res = _small_train(tmp_path, blob_splits, use_two_stage=False)
+    assert "baseline_model" not in res
+    assert res["pde_model"].exists()
+    assert (tmp_path / "output").glob("metrics_single_stage_*.csv")
+    assert "test_metrics" in res
+
+
+def test_train_fraction_subsets(tmp_path, blob_splits):
+    res = _small_train(tmp_path, blob_splits, train_fraction=0.5)
+    # fraction appears in CSV filenames (reference convention)
+    assert "_frac0.50" in str(res["stage1_csv"])
+
+
+def test_learning_actually_happens(tmp_path):
+    """With enough steps the model segments easy synthetic blobs well."""
+
+    def blobs(n, seed):
+        return DeviceDataset.from_numpy(
+            *make_blobs(n, 32, 32, max_cells=3, noise=0.08, seed=seed)
+        )
+
+    res = train(
+        train_data=blobs(12, 0),
+        val_data=blobs(6, 1),
+        test_data=blobs(6, 2),
+        stage1_epochs=30,
+        stage2_epochs=5,
+        batch_size=4,
+        learning_rate=5e-4,
+        early_stopping_patience=50,
+        data_root=tmp_path,
+        precision="f32",
+        physics_backend="jax",
+        make_plots=False,
+        verbose=False,
+        seed=0,
+    )
+    dice = np.nanmean(res["test_metrics_stage2"]["dice_scores"])
+    assert dice > 0.6, f"expected learning on easy blobs, got Dice {dice:.3f}"
