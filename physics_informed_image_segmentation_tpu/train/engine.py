@@ -123,6 +123,7 @@ def make_train_epoch_fn(
     *,
     compute_metrics: bool = True,
     pmean_axis: Optional[str] = None,
+    constrain_batch=None,
 ):
     """Build the jitted one-epoch training program.
 
@@ -133,6 +134,10 @@ def make_train_epoch_fn(
 
     ``pmean_axis``: when run under shard_map over a data-parallel mesh
     axis, gradients and metric sums are psum-averaged across it.
+    ``constrain_batch``: optional fn applied to each gathered batch
+    array — used by :mod:`..parallel.sharding` to attach
+    `with_sharding_constraint` so the SPMD partitioner shards the
+    compute (grads then all-reduce automatically).
     """
     loss_fn = make_loss_and_components(loss_cfg)
 
@@ -141,6 +146,8 @@ def make_train_epoch_fn(
             idx_b, valid_b = batch
             x = images[idx_b]
             y = masks[idx_b]
+            if constrain_batch is not None:
+                x, y = constrain_batch(x), constrain_batch(y)
             mask = _sample_mask(valid_b, x.ndim)
             dropout_key = jax.random.fold_in(state.dropout_key, state.step)
 
@@ -193,6 +200,7 @@ def make_eval_epoch_fn(
     *,
     compute_metrics: bool = True,
     pmean_axis: Optional[str] = None,
+    constrain_batch=None,
 ):
     """Validation epoch program (no grads, deterministic forward).
 
@@ -208,6 +216,8 @@ def make_eval_epoch_fn(
             idx_b, valid_b = batch
             x = images[idx_b]
             y = masks[idx_b]
+            if constrain_batch is not None:
+                x, y = constrain_batch(x), constrain_batch(y)
             mask = _sample_mask(valid_b, x.ndim)
             pred = model.apply(params, x, deterministic=True)
             total, comps = loss_fn(pred, y, mask)
