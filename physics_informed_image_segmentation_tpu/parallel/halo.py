@@ -86,9 +86,7 @@ def _make_halo_loss(mesh: Mesh, which: str, D: float, a: float, eps: float):
         )
         return total / count
 
-    return shard_map(
-        local, mesh=mesh, in_specs=spec, out_specs=P(), check_rep=False
-    )
+    return shard_map(local, mesh=mesh, in_specs=spec, out_specs=P())
 
 
 def halo_residual_loss(
