@@ -1,0 +1,102 @@
+"""Headline benchmark: train images/sec/chip (U-Net + full PDE loss, batch 8).
+
+Measures the steady-state throughput of the REAL training epoch program
+(flagship 20.5M-param U-Net, bf16 compute, fused Pallas physics loss,
+on-device Dice/IoU/Boundary-F1 metrics — i.e. everything the
+reference's training loop does per batch, /root/reference/src/train.py:84-185)
+on synthetic 128×128 data resident in HBM.
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": R}
+
+vs_baseline: ratio against an A100 PyTorch estimate for the same model/
+batch (the reference publishes no numbers and no A100 is available
+here — see BASELINE.md).  Estimate: ~570 GFLOP per optimizer step at
+batch 8; A100 TF32 convs at a generous 35% utilisation ≈ 16 ms/step
+≈ 500 images/sec, EXCLUDING the reference's per-batch host syncs and
+cv2 metric work (which would lower it several-fold).  We compare
+against the favourable compute-only figure.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_TORCH_IMAGES_PER_SEC_ESTIMATE = 500.0
+
+BATCH_SIZE = 8
+IMAGE_SIZE = 128
+N_IMAGES = 512
+WARMUP_EPOCHS = 2
+TIMED_EPOCHS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from physics_informed_image_segmentation_tpu.data import (
+        DeviceDataset,
+        epoch_batch_indices,
+        make_blobs,
+    )
+    from physics_informed_image_segmentation_tpu.models import UNet
+    from physics_informed_image_segmentation_tpu.train import (
+        LossConfig,
+        create_train_state,
+        make_train_epoch_fn,
+    )
+
+    images, masks = make_blobs(N_IMAGES, IMAGE_SIZE, IMAGE_SIZE, seed=0)
+    data = DeviceDataset.from_numpy(images, masks)
+
+    model = UNet(
+        in_channels=1, out_channels=1, base_channels=64, dtype=jnp.bfloat16
+    )
+    cfg = LossConfig(
+        pde_weight=1e-4,
+        phase_field_weight=1e-4,
+        diffusion_coeff=5.0,
+        reaction_threshold=0.5,
+        epsilon=0.05,
+    )
+    epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=True)
+    state = create_train_state(
+        model, jax.random.key(0), 1e-4, input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1)
+    )
+    idx, valid = epoch_batch_indices(
+        data.n, BATCH_SIZE, shuffle=True, key=jax.random.key(1)
+    )
+
+    # NOTE: a scalar fetch (float(...)) is the sync point — on the axon
+    # tunnel, block_until_ready alone does not wait for execution.
+    for _ in range(WARMUP_EPOCHS):
+        state, r = epoch_fn(state, data.images, data.masks, idx, valid)
+        loss = float(r["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        state, r = epoch_fn(state, data.images, data.masks, idx, valid)
+        loss = float(r["loss"])
+    dt = (time.perf_counter() - t0) / TIMED_EPOCHS
+
+    n_devices = jax.device_count()
+    images_per_sec_per_chip = data.n / dt / n_devices
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(images_per_sec_per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_sec_per_chip / A100_TORCH_IMAGES_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
