@@ -7,8 +7,107 @@ ablation/sensitivity studies, statistical evaluation), re-designed for
 TPU: NHWC Flax models, fused Pallas stencil kernels for the physics
 loss, jit/scan training with on-device metrics, and mesh-sharded
 data/spatial parallelism.
+
+The flat public API below mirrors the reference's 33-name surface
+(/root/reference/src/__init__.py:35-67) with idiomatic JAX equivalents;
+submodules (`ops`, `models`, `data`, `train`, `parallel`, `experiments`,
+`utils`) carry the full TPU-native API.
 """
 
-from . import models, ops  # noqa: F401
+from . import data, experiments, models, ops, parallel, train, utils  # noqa: F401
+
+# --- reference public-API parity (functional equivalents) ---
+from .data import CocoSegmentationSource as CellSegmentationDataset  # noqa: F401
+from .experiments import (  # noqa: F401
+    AblationConfig,
+    evaluate_and_compare,
+    run_ablation_study,
+    run_ablation_variant,
+    run_repeated_evaluations,
+)
+from .models import UNet, count_parameters, mish  # noqa: F401
+from .ops.losses import dice_bce_loss, dice_bce_pde_loss  # noqa: F401
+from .ops.metrics import (  # noqa: F401
+    boundary_f1_per_sample,
+    dice_score,
+    dice_score_per_sample,
+    extract_boundaries,
+    hausdorff_distance_np,
+    iou_score,
+    iou_score_per_sample,
+)
+from .ops.pde import (  # noqa: F401
+    laplacian,
+    pde_residual,
+    pde_residual_loss,
+    phase_field_loss,
+    reaction_term,
+)
+from .ops.stats import (  # noqa: F401
+    compare_models_statistically,
+    compute_statistics,
+    format_metric_report,
+)
+from .train import (  # noqa: F401
+    EarlyStopping,
+    LossConfig,
+    evaluate_model,
+    evaluate_on_dataset,
+    train,
+    train_stage,
+)
+from .utils.plot import (  # noqa: F401
+    plot_all_metrics,
+    plot_training_curves,
+    plot_training_results,
+    plot_two_stage_comparison,
+)
 
 __version__ = "0.1.0"
+
+__all__ = [
+    # data
+    "CellSegmentationDataset",
+    # model
+    "UNet",
+    "mish",
+    "count_parameters",
+    # losses / physics
+    "dice_bce_loss",
+    "dice_bce_pde_loss",
+    "LossConfig",
+    "laplacian",
+    "reaction_term",
+    "pde_residual",
+    "pde_residual_loss",
+    "phase_field_loss",
+    # metrics
+    "dice_score",
+    "dice_score_per_sample",
+    "iou_score",
+    "iou_score_per_sample",
+    "boundary_f1_per_sample",
+    "extract_boundaries",
+    "hausdorff_distance_np",
+    # training
+    "train",
+    "train_stage",
+    "EarlyStopping",
+    "evaluate_model",
+    "evaluate_on_dataset",
+    # statistics
+    "compute_statistics",
+    "compare_models_statistically",
+    "format_metric_report",
+    # experiments
+    "AblationConfig",
+    "run_ablation_variant",
+    "run_ablation_study",
+    "evaluate_and_compare",
+    "run_repeated_evaluations",
+    # plotting
+    "plot_training_curves",
+    "plot_two_stage_comparison",
+    "plot_all_metrics",
+    "plot_training_results",
+]

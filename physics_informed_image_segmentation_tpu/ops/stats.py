@@ -56,12 +56,21 @@ def compare_models_statistically(
         base_clean, pde_clean = base[valid], pde[valid]
 
         if len(base_clean) < 2:
+            # Degenerate case (fewer than 2 valid pairs).  The reference's
+            # row omits the summary keys (/root/reference/src/evaluate.py:401-408)
+            # which makes its own reporting code crash on all-NaN metrics;
+            # we include them as NaN so downstream reporting stays total.
             results[metric_name] = {
                 "t_statistic": np.nan,
                 "t_pvalue": np.nan,
                 "wilcoxon_statistic": np.nan,
                 "wilcoxon_pvalue": np.nan,
                 "significant": False,
+                "baseline_mean": np.nan,
+                "baseline_std": np.nan,
+                "pde_mean": np.nan,
+                "pde_std": np.nan,
+                "improvement": np.nan,
             }
             continue
 
