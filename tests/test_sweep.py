@@ -1,0 +1,148 @@
+"""Batched vmapped sweep: correctness vs serial training, ES masking."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_informed_image_segmentation_tpu.data import DeviceDataset, make_blobs
+from physics_informed_image_segmentation_tpu.experiments import AblationConfig
+from physics_informed_image_segmentation_tpu.experiments.sweep import (
+    run_batched_study,
+    run_batched_sweep,
+    sweep_scalars_from_variants,
+)
+from physics_informed_image_segmentation_tpu.models import UNet
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+    va = DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=1))
+    model = UNet(base_channels=4, dropout=0.0)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+    return model, params, tr, va
+
+
+def _scalars(n):
+    return {
+        "pde_weight": np.full(n, 1e-4, np.float32),
+        "phase_field_weight": np.full(n, 1e-4, np.float32),
+        "diffusion_coeff": np.linspace(1.0, 5.0, n).astype(np.float32),
+        "reaction_threshold": np.full(n, 0.5, np.float32),
+        "epsilon": np.full(n, 0.05, np.float32),
+    }
+
+
+class TestBatchedSweep:
+    def test_runs_and_shapes(self, setup):
+        model, params, tr, va = setup
+        out = run_batched_sweep(
+            model, params, _scalars(3), tr, va,
+            num_epochs=2, batch_size=4, learning_rate=1e-3,
+        )
+        leaf = jax.tree_util.tree_leaves(out["params"])[0]
+        assert leaf.shape[0] == 3
+        assert out["history"]["val_dice_score"].shape == (2, 3)
+        assert out["stop_epoch"].shape == (3,)
+        assert np.isfinite(out["history"]["train_loss"]).all()
+
+    def test_members_diverge_with_different_scalars(self, setup):
+        model, params, tr, va = setup
+        sc = _scalars(2)
+        sc["pde_weight"] = np.asarray([0.0, 1.0], np.float32)  # extreme difference
+        out = run_batched_sweep(
+            model, params, sc, tr, va,
+            num_epochs=2, batch_size=4, learning_rate=1e-3,
+        )
+        p0 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda p: p[0], out["params"])
+        )
+        p1 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda p: p[1], out["params"])
+        )
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(p0, p1)
+        )
+
+    def test_identical_members_stay_identical(self, setup):
+        model, params, tr, va = setup
+        out = run_batched_sweep(
+            model, params, _scalars(1) | {"diffusion_coeff": np.asarray([5.0], np.float32)},
+            tr, va, num_epochs=1, batch_size=4, learning_rate=1e-3,
+        )
+        sc2 = {k: np.repeat(v, 2) for k, v in _scalars(1).items()}
+        sc2["diffusion_coeff"] = np.asarray([5.0, 5.0], np.float32)
+        out2 = run_batched_sweep(
+            model, params, sc2, tr, va,
+            num_epochs=1, batch_size=4, learning_rate=1e-3, seed=42,
+        )
+        # two identical members produce identical weights
+        a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[0], out2["params"]))
+        b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[1], out2["params"]))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_early_stopping_freezes_member(self, setup):
+        """With patience=1 and an impossible min_delta the member stops
+        after epoch 2 and its params freeze."""
+        model, params, tr, va = setup
+        out = run_batched_sweep(
+            model, params, _scalars(1), tr, va,
+            num_epochs=5, batch_size=4, learning_rate=1e-3,
+            early_stopping_patience=1, min_delta=1e9,
+        )
+        assert int(out["stop_epoch"][0]) == 2
+        # rerun with num_epochs=2: frozen weights must match the 5-epoch run
+        out2 = run_batched_sweep(
+            model, params, _scalars(1), tr, va,
+            num_epochs=2, batch_size=4, learning_rate=1e-3,
+            early_stopping_patience=1, min_delta=1e9,
+        )
+        a = jax.tree_util.tree_leaves(out["params"])
+        b = jax.tree_util.tree_leaves(out2["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestBatchedStudy:
+    def test_rejects_heterogeneous_variants(self, setup):
+        variants = [
+            AblationConfig(name="A", description="d", use_pde=True, seed=1),
+            AblationConfig(name="B", description="d", use_pde=True, seed=2),
+        ]
+        with pytest.raises(ValueError):
+            run_batched_study("X", variants, datasets={}, output_dir="/tmp/x")
+
+    def test_mini_batched_study(self, setup, tmp_path):
+        datasets = {
+            "train": DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0)),
+            "val": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=1)),
+            "in_dist": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=2)),
+            "out_dist": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=3)),
+        }
+        variants = [
+            AblationConfig(
+                name=f"SB.{i} D={d}", description="d", use_pde=True,
+                pde_weight=1e-4, phase_field_weight=1e-4, diffusion_coeff=d,
+            )
+            for i, d in enumerate([1.0, 5.0])
+        ]
+        res = run_batched_study(
+            "SB", variants, datasets=datasets,
+            batch_size=4, learning_rate=1e-4, stage1_epochs=2, stage2_epochs=2,
+            output_dir=tmp_path, precision="f32",
+        )
+        folder = Path(res["ablation_folder"])
+        data = json.loads(Path(res["results_json"]).read_text())
+        assert data["batched"] is True
+        assert len(data["results"]) == 2
+        for i, d in enumerate([1.0, 5.0]):
+            stem = f"sb.{i}_d={d}".replace(" ", "_")
+            assert (folder / f"{stem}_after_pde_stage2.msgpack").exists()
+            assert (folder / f"{stem}_stage2_metrics.csv").exists()
+        assert (folder / "shared_stage1_metrics.csv").exists()
+        assert Path(res["summary_csv"]).exists()
