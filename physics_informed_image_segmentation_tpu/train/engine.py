@@ -302,14 +302,22 @@ def train_stage(
     verbose: bool = True,
     csv_path=None,
     epoch_callback=None,
+    checkpoint_dir=None,
+    checkpoint_every: int = 0,
 ) -> tuple[TrainState, dict, int, list[dict]]:
     """Host-side stage loop (/root/reference/src/train.py:289-391).
 
     Returns ``(state, best_metrics, best_epoch, all_epoch_metrics)``.
     ``best_metrics`` tracks the best val-Dice epoch's metrics only — the
     returned ``state`` is the LAST epoch's (reference parity).
+
+    ``checkpoint_dir``/``checkpoint_every``: save a full Orbax
+    train-state (params+optimizer+step+PRNG) every N epochs — the
+    resume capability the reference lacks (SURVEY.md §5); restore with
+    :func:`.checkpoint.restore_train_state`.
     """
     from ..data.pipeline import epoch_batch_indices
+    from .checkpoint import save_train_state
     from .csvlog import save_metrics_to_csv
 
     best_val_dice = 0.0
@@ -360,6 +368,9 @@ def train_stage(
         all_metrics.append(epoch_metrics)
         if csv_path is not None:
             save_metrics_to_csv(all_metrics, csv_path)
+        if checkpoint_dir is not None and checkpoint_every > 0:
+            if (epoch + 1) % checkpoint_every == 0 or epoch + 1 == num_epochs:
+                save_train_state(state, checkpoint_dir)
         if epoch_callback is not None:
             epoch_callback(epoch + 1, epoch_metrics)
 

@@ -87,6 +87,7 @@ def train(
     physics_backend: str = "auto",
     make_plots: bool = True,
     verbose: bool = True,
+    checkpoint_every: int = 0,
 ) -> dict:
     """Run the full two-stage (or single-stage) pipeline; returns artifacts.
 
@@ -94,7 +95,10 @@ def train(
     (/root/reference/src/train.py:531-544); keyword-only extras are
     TPU-build additions.  Pass `train_data`/`val_data`/`test_data` to
     skip disk loading (e.g. synthetic fixtures); otherwise the reference
-    directory layout under ``data_root`` is used.
+    directory layout under ``data_root`` is used.  ``checkpoint_every``
+    > 0 writes full Orbax train-state checkpoints every N epochs under
+    ``{models_dir}/checkpoints/{stage}`` (restore with
+    :func:`.checkpoint.restore_train_state`).
     """
     # Global numpy seed: reference parity for train_fraction subsetting
     # (/root/reference/src/train.py:568-572).
@@ -208,6 +212,9 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_stage1,
+            checkpoint_dir=(models_dir / "checkpoints" / "stage1")
+            if checkpoint_every > 0 else None,
+            checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s1_metrics) * train_data.n
         if verbose and best1:
@@ -267,6 +274,9 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_stage2,
+            checkpoint_dir=(models_dir / "checkpoints" / "stage2")
+            if checkpoint_every > 0 else None,
+            checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s2_metrics) * train_data.n
         if verbose and best2:
@@ -315,6 +325,9 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_single,
+            checkpoint_dir=(models_dir / "checkpoints" / "single")
+            if checkpoint_every > 0 else None,
+            checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s_metrics) * train_data.n
         model_path_stage2 = save_params(

@@ -209,3 +209,41 @@ class TestCheckpoint:
         s1, r1 = train_fn(state, data.images, data.masks, idx, valid)
         s2, r2 = train_fn(restored, data.images, data.masks, idx, valid)
         assert float(r1["loss"]) == float(r2["loss"])
+
+
+class TestStageCheckpointing:
+    def test_periodic_checkpoints_written_and_restorable(self, tiny_setup, tmp_path):
+        model, state, data = tiny_setup
+        from physics_informed_image_segmentation_tpu.train import LossConfig
+        from physics_informed_image_segmentation_tpu.train.checkpoint import (
+            latest_checkpoint_step,
+            restore_train_state,
+        )
+
+        cfg = LossConfig(backend="jax")
+        ckpt_dir = tmp_path / "ckpts"
+        state, _, _, _ = train_stage(
+            state,
+            make_train_epoch_fn(model, cfg),
+            make_eval_epoch_fn(model, cfg),
+            data,
+            data,
+            batch_size=4,
+            num_epochs=3,
+            stage_name="T",
+            shuffle_key=jax.random.key(0),
+            verbose=False,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=1,
+        )
+        step = latest_checkpoint_step(ckpt_dir)
+        assert step == int(state.step)
+        fresh = create_train_state(
+            model, jax.random.key(123), 1e-3, input_shape=(1, 32, 32, 1)
+        )
+        restored = restore_train_state(fresh, ckpt_dir)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(state.params),
+            jax.device_get(restored.params),
+        )
