@@ -7,6 +7,7 @@ from .pipeline import (  # noqa: F401
     num_batches,
     subset_fraction_indices,
 )
+from .streaming import HostDataset, batch_iterator, prefetch_to_device  # noqa: F401
 from .synthetic import make_blobs, write_synthetic_coco  # noqa: F401
 
 __all__ = [
@@ -18,5 +19,8 @@ __all__ = [
     "num_batches",
     "subset_fraction_indices",
     "make_blobs",
+    "HostDataset",
+    "batch_iterator",
+    "prefetch_to_device",
     "write_synthetic_coco",
 ]

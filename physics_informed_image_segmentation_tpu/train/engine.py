@@ -194,6 +194,49 @@ def make_train_epoch_fn(
     return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
+def make_train_step_fn(
+    model,
+    loss_cfg: LossConfig,
+    *,
+    compute_metrics: bool = True,
+    pmean_axis: Optional[str] = None,
+):
+    """Single-batch jitted train step for STREAMING pipelines.
+
+    ``step(state, x, y, valid) -> (state, metrics)`` with ``x``/``y``
+    device batches and ``valid`` the per-sample mask from
+    :func:`..data.streaming.batch_iterator`.  The device-resident epoch
+    scan (:func:`make_train_epoch_fn`) is faster when data fits in HBM;
+    this is the building block when it doesn't.
+    """
+    loss_fn = make_loss_and_components(loss_cfg)
+
+    def step(state: TrainState, x, y, valid):
+        mask = _sample_mask(valid, x.ndim)
+        dropout_key = jax.random.fold_in(state.dropout_key, state.step)
+
+        def loss_of(params):
+            pred = state.apply_fn(
+                params, x, deterministic=False, rngs={"dropout": dropout_key}
+            )
+            total, comps = loss_fn(pred, y, mask)
+            return total, (pred, comps)
+
+        (total, (pred, comps)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+        new_state = state.apply_gradients(grads)
+        out = {"loss": total, **comps}
+        if compute_metrics:
+            d, i, b = _batch_metrics(pred, y, valid)
+            out.update(dice_sum=d, iou_sum=i, bf1_sum=b, n=jnp.sum(valid))
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_epoch_fn(
     model,
     loss_cfg: LossConfig,
