@@ -121,7 +121,9 @@ def main():
                 learning_rate=args.learning_rate,
                 stage1_epochs=args.stage1_epochs,
                 stage2_epochs=args.stage2_epochs,
+                early_stopping_patience=args.early_stopping_patience,
                 output_dir=Path(args.output_dir).resolve() if args.output_dir else None,
+                precision=args.precision,
             )
         else:
             results = run_ablation_study(

@@ -1,0 +1,126 @@
+"""CLI end-to-end smoke tests on an on-disk synthetic COCO dataset.
+
+Exercises the full reference workflow surface: main.py (train),
+run_ablation.py (study), evaluate.py (compare) — as subprocesses with
+the real argument parsing, file layout, and artifact generation.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from physics_informed_image_segmentation_tpu.data import write_synthetic_coco
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Reference directory layout with synthetic COCO splits."""
+    root = tmp_path_factory.mktemp("cli_data")
+    img = root / "images"
+    ann = img / "annotation"
+    ann.mkdir(parents=True)
+    specs = {
+        "training": 8,
+        "validation": 4,
+        "testing": 4,
+        "in_dist_testing": 4,
+        "out_dist_testing": 4,
+    }
+    for split, n in specs.items():
+        image_dir, ann_path = write_synthetic_coco(
+            root / f"_stage_{split}", n=n, height=64, width=64, seed=hash(split) % 1000
+        )
+        (img / split).mkdir(parents=True)
+        for f in image_dir.iterdir():
+            (img / split / f.name).write_bytes(f.read_bytes())
+        (ann / f"{split}_annotation.json").write_text(ann_path.read_text())
+    return root
+
+
+def _run(args, cwd, timeout=1200):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    # force cpu through the config API too (the axon plugin overrides env)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; sys.argv = sys.argv[1:]; "
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code, *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_main_cli_end_to_end(data_root):
+    r = _run(
+        [
+            str(REPO / "main.py"),
+            "--stage1-epochs", "2", "--stage2-epochs", "2",
+            "--batch-size", "4", "--precision", "f32",
+            "--physics-backend", "jax", "--seed", "0",
+        ],
+        cwd=data_root,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert (data_root / "models" / "unet_baseline.msgpack").exists()
+    assert (data_root / "models" / "unet_pde_regularized.msgpack").exists()
+    csvs = list((data_root / "output").glob("metrics_stage1_*.csv"))
+    assert csvs
+    assert list((data_root / "output").glob("test_metrics_stage2_*.json"))
+    assert (data_root / "output" / "two_stage_comparison.png").exists()
+    assert "TRAINING COMPLETE" in r.stdout
+
+
+@pytest.mark.slow
+def test_evaluate_cli(data_root):
+    # depends on artifacts from the main CLI test
+    baseline = data_root / "models" / "unet_baseline.msgpack"
+    pde = data_root / "models" / "unet_pde_regularized.msgpack"
+    if not baseline.exists():
+        pytest.skip("main CLI test did not run first")
+    r = _run(
+        [
+            str(REPO / "evaluate.py"),
+            "--baseline", str(baseline), "--pde", str(pde),
+        ],
+        cwd=data_root,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "EVALUATION COMPLETE" in r.stdout
+    assert list((data_root / "output").glob("statistical_comparison_*.json"))
+
+
+@pytest.mark.slow
+def test_run_ablation_cli(data_root):
+    r = _run(
+        [
+            str(REPO / "run_ablation.py"),
+            "--ablation", "R1",
+            "--stage1-epochs", "1", "--stage2-epochs", "1",
+            "--batch-size", "4", "--precision", "f32",
+            "--physics-backend", "jax",
+        ],
+        cwd=data_root,
+        timeout=2400,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    folders = list((data_root / "output" / "ablation").glob("R1_*"))
+    assert folders
+    results = list(folders[0].glob("ablation_R1_*.json"))
+    assert results
+    data = json.loads(results[0].read_text())
+    assert len(data["results"]) == 4  # R1.0-R1.3
+    assert "ALL ABLATION STUDIES COMPLETE" in r.stdout
