@@ -46,6 +46,7 @@ def data_root(tmp_path_factory):
 def _run(args, cwd, timeout=1200):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
     # force cpu through the config API too (the axon plugin overrides env)
     code = (
