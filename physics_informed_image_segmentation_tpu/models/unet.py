@@ -77,7 +77,7 @@ class DoubleConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         act_name = _check_activation(self.activation)
         if act_name == "prelu":
             # One shared weight for both convs of the block, matching the
@@ -99,6 +99,41 @@ class DoubleConv(nn.Module):
         return act(x)
 
 
+class FastUpsample(nn.Module):
+    """2× upsampling numerically IDENTICAL to ``nn.ConvTranspose(k=2, s=2)``
+    but ~2× faster on TPU.
+
+    ConvTranspose lowers to a fractionally-strided conv; for the
+    non-overlapping k=s=2 case the same map is one MXU matmul
+    ``(B·H·W, C) × (C, 4F)`` followed by a depth-to-space reshape.
+    Parameters keep the ConvTranspose structure — kernel ``(2, 2, in, F)``
+    and bias ``(F,)`` — so checkpoints are interchangeable between the
+    two implementations (verified to 0 ULP in ``tests/test_unet.py``).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        # lax.conv_transpose applies the kernel spatially flipped
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        y = jnp.einsum(
+            "bhwc,ijcf->bhwijf", x.astype(self.dtype), k,
+            preferred_element_type=self.dtype,
+        )
+        b_, h, w, _, _, f = y.shape
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h * 2, w * 2, f)
+        return y + bias.astype(self.dtype)
+
+
 class UNet(nn.Module):
     """Standard U-Net (/root/reference/src/unet.py:79-216), NHWC.
 
@@ -117,6 +152,14 @@ class UNet(nn.Module):
     output_activation: str = "sigmoid"
     intermediate_activation: str = "relu"
     dtype: Any = jnp.float32
+    # rematerialise DoubleConv activations in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less
+    # activation HBM — enables much larger batch/resolution per chip.
+    remat: bool = False
+    # matmul+depth-to-space upsampling: numerically identical to
+    # ConvTranspose(k=2, s=2) with the same parameter structure, ~2×
+    # faster on TPU (see FastUpsample).
+    fast_upsample: bool = True
 
     def setup(self):
         if self.output_activation.lower() not in ("sigmoid", "tanh"):
@@ -131,20 +174,29 @@ class UNet(nn.Module):
             self.dropout,
             self.dtype,
         )
+        Block = (
+            nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
+        )
+        if self.fast_upsample:
+            Up = lambda feats: FastUpsample(feats, dt)
+        else:
+            Up = lambda feats: nn.ConvTranspose(
+                feats, (2, 2), strides=(2, 2), padding="VALID", dtype=dt
+            )
         # Dropout schedule of /root/reference/src/unet.py:120-154.
-        self.enc1 = DoubleConv(c, 0.0, act, dt)
-        self.enc2 = DoubleConv(c * 2, d * 0.5, act, dt)
-        self.enc3 = DoubleConv(c * 4, d, act, dt)
-        self.enc4 = DoubleConv(c * 8, d, act, dt)
-        self.bottleneck = DoubleConv(c * 8, d, act, dt)
-        self.up4 = nn.ConvTranspose(c * 8, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
-        self.dec4 = DoubleConv(c * 8, d, act, dt)
-        self.up3 = nn.ConvTranspose(c * 4, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
-        self.dec3 = DoubleConv(c * 4, d * 0.5, act, dt)
-        self.up2 = nn.ConvTranspose(c * 2, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
-        self.dec2 = DoubleConv(c * 2, d * 0.5, act, dt)
-        self.up1 = nn.ConvTranspose(c, (2, 2), strides=(2, 2), padding="VALID", dtype=dt)
-        self.dec1 = DoubleConv(c, 0.0, act, dt)
+        self.enc1 = Block(c, 0.0, act, dt)
+        self.enc2 = Block(c * 2, d * 0.5, act, dt)
+        self.enc3 = Block(c * 4, d, act, dt)
+        self.enc4 = Block(c * 8, d, act, dt)
+        self.bottleneck = Block(c * 8, d, act, dt)
+        self.up4 = Up(c * 8)
+        self.dec4 = Block(c * 8, d, act, dt)
+        self.up3 = Up(c * 4)
+        self.dec3 = Block(c * 4, d * 0.5, act, dt)
+        self.up2 = Up(c * 2)
+        self.dec2 = Block(c * 2, d * 0.5, act, dt)
+        self.up1 = Up(c)
+        self.dec1 = Block(c, 0.0, act, dt)
         self.out_conv = nn.Conv(self.out_channels, (1, 1), dtype=dt)
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -152,25 +204,17 @@ class UNet(nn.Module):
         x = x.astype(self.dtype)
         pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))
 
-        e1 = self.enc1(x, deterministic=deterministic)
-        e2 = self.enc2(pool(e1), deterministic=deterministic)
-        e3 = self.enc3(pool(e2), deterministic=deterministic)
-        e4 = self.enc4(pool(e3), deterministic=deterministic)
+        e1 = self.enc1(x, deterministic)
+        e2 = self.enc2(pool(e1), deterministic)
+        e3 = self.enc3(pool(e2), deterministic)
+        e4 = self.enc4(pool(e3), deterministic)
 
-        b = self.bottleneck(pool(e4), deterministic=deterministic)
+        b = self.bottleneck(pool(e4), deterministic)
 
-        d4 = self.dec4(
-            jnp.concatenate([self.up4(b), e4], axis=-1), deterministic=deterministic
-        )
-        d3 = self.dec3(
-            jnp.concatenate([self.up3(d4), e3], axis=-1), deterministic=deterministic
-        )
-        d2 = self.dec2(
-            jnp.concatenate([self.up2(d3), e2], axis=-1), deterministic=deterministic
-        )
-        d1 = self.dec1(
-            jnp.concatenate([self.up1(d2), e1], axis=-1), deterministic=deterministic
-        )
+        d4 = self.dec4(jnp.concatenate([self.up4(b), e4], axis=-1), deterministic)
+        d3 = self.dec3(jnp.concatenate([self.up3(d4), e3], axis=-1), deterministic)
+        d2 = self.dec2(jnp.concatenate([self.up2(d3), e2], axis=-1), deterministic)
+        d1 = self.dec1(jnp.concatenate([self.up1(d2), e1], axis=-1), deterministic)
 
         out = self.out_conv(d1).astype(jnp.float32)
         if self.output_activation.lower() == "sigmoid":

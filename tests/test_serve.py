@@ -1,0 +1,102 @@
+"""Serving path: Predictor padding, checkpoint formats, CLI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physics_informed_image_segmentation_tpu.data import make_blobs
+from physics_informed_image_segmentation_tpu.models import UNet
+from physics_informed_image_segmentation_tpu.serve import Predictor
+from physics_informed_image_segmentation_tpu.train import save_params
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "model.msgpack"
+    model = UNet(base_channels=64, dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+    save_params(params, path)
+    return path
+
+
+class TestPredictor:
+    def test_predict_arbitrary_n(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(7, 64, 64, seed=0)  # 7 = one ragged chunk
+        probs = p.predict(images)
+        assert probs.shape == (7, 64, 64, 1)
+        assert (probs > 0).all() and (probs < 1).all()
+
+    def test_threshold_binarizes(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(3, 64, 64, seed=1)
+        masks = p.predict(images, threshold=0.5)
+        assert set(np.unique(masks)) <= {0.0, 1.0}
+
+    def test_padding_does_not_change_results(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=8, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(3, 64, 64, seed=2)
+        a = p.predict(images)
+        b = p.predict(images[:2])
+        np.testing.assert_allclose(a[:2], b, atol=1e-6)
+
+    def test_torch_checkpoint_loads(self, tmp_path):
+        import sys
+
+        import torch
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from src.unet import UNet as TorchUNet
+
+        torch.manual_seed(0)
+        tm = TorchUNet(in_channels=1, out_channels=1, base_channels=64)
+        pth = tmp_path / "ref.pth"
+        torch.save(tm.state_dict(), pth)
+
+        p = Predictor(pth, batch_size=2, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(2, 64, 64, seed=3)
+        probs = p.predict(images)
+        tm.eval()
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(
+            probs.transpose(0, 3, 1, 2), ref, atol=2e-5
+        )
+
+
+def test_predict_cli(tmp_path, checkpoint):
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from PIL import Image
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    images, _ = make_blobs(3, 64, 64, seed=4)
+    for i, img in enumerate(images):
+        Image.fromarray((img[..., 0] * 255).astype(np.uint8)).save(
+            input_dir / f"img_{i}.png"
+        )
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; sys.argv = sys.argv[1:]; "
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
+    r = subprocess.run(
+        [
+            sys.executable, "-c", code, str(repo / "predict.py"),
+            "--model", str(checkpoint), "--input-dir", str(input_dir),
+            "--output-dir", str(tmp_path / "out"), "--image-size", "64", "64",
+            "--precision", "f32",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    outs = list((tmp_path / "out").glob("*_mask.png"))
+    assert len(outs) == 3

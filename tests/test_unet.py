@@ -97,3 +97,39 @@ def test_jit_forward():
     f = jax.jit(lambda p, x: model.apply(p, x))
     out = f(params, jnp.ones((1, 32, 32, 1)))
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_fast_upsample_identical_to_conv_transpose():
+    """FastUpsample == ConvTranspose(k=2,s=2) with the SAME params."""
+    m_fast = UNet(base_channels=8, dropout=0.0, fast_upsample=True)
+    m_ct = UNet(base_channels=8, dropout=0.0, fast_upsample=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    )
+    params = m_ct.init(jax.random.key(0), x)
+    out_ct = np.asarray(m_ct.apply(params, x))
+    out_fast = np.asarray(m_fast.apply(params, x))  # same param tree
+    np.testing.assert_allclose(out_fast, out_ct, atol=1e-6)
+    # param count unchanged
+    assert count_parameters(m_fast.init(jax.random.key(1), x)) == count_parameters(
+        params
+    )
+
+
+def test_remat_identical_outputs_and_grads():
+    m0 = UNet(base_channels=4, dropout=0.0)
+    m1 = UNet(base_channels=4, dropout=0.0, remat=True)
+    x = jnp.ones((1, 32, 32, 1))
+    p = m0.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p, x)), np.asarray(m1.apply(p, x)), atol=1e-6
+    )
+    g0 = jax.grad(lambda pp: float(0) + jnp.sum(m0.apply(pp, x)))(p)
+    g1 = jax.grad(lambda pp: float(0) + jnp.sum(m1.apply(pp, x)))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        g0,
+        g1,
+    )
