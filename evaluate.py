@@ -48,6 +48,10 @@ def main():
         help="Directory to save evaluation results (default: output)",
     )
     parser.add_argument(
+        "--base-channels", type=int, default=64,
+        help="U-Net base channel count of the checkpoints (default: 64)",
+    )
+    parser.add_argument(
         "--repeated", action="store_true",
         help="Run repeated experiments evaluation (baseline and pde are glob patterns)",
     )
@@ -81,6 +85,7 @@ def main():
             batch_size=args.batch_size,
             threshold=args.threshold,
             output_dir=output_dir,
+            base_channels=args.base_channels,
         )
     else:
         baseline_path = Path(args.baseline)
@@ -99,6 +104,7 @@ def main():
             batch_size=args.batch_size,
             threshold=args.threshold,
             output_dir=output_dir,
+            base_channels=args.base_channels,
         )
 
     print("\n" + "=" * 70)

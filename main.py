@@ -86,6 +86,10 @@ def main():
         help="Physics loss implementation (default: auto = pallas on TPU)",
     )
     parser.add_argument("--no-plots", action="store_true", help="Skip plot generation")
+    parser.add_argument(
+        "--base-channels", type=int, default=64,
+        help="U-Net base channel count (default: 64, the reference architecture)",
+    )
     args = parser.parse_args()
 
     train(
@@ -106,6 +110,7 @@ def main():
         precision=args.precision,
         physics_backend=args.physics_backend,
         make_plots=not args.no_plots,
+        base_channels=args.base_channels,
     )
 
 

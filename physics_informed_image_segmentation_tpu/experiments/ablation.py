@@ -225,6 +225,7 @@ def run_ablation_variant(
     ablation_folder: Path,
     precision: str = "bf16",
     physics_backend: str = "auto",
+    base_channels: int = 64,
 ) -> Dict:
     """Run one ablation variant (/root/reference/src/ablation.py:157-1237).
 
@@ -260,7 +261,7 @@ def run_ablation_variant(
     model = UNet(
         in_channels=1,
         out_channels=1,
-        base_channels=64,
+        base_channels=base_channels,
         output_activation=config.output_activation,
         intermediate_activation=config.intermediate_activation,
         dtype=dtype,
@@ -556,6 +557,7 @@ def run_ablation_study(
     output_dir=None,
     precision: str = "bf16",
     physics_backend: str = "auto",
+    base_channels: int = 64,
 ) -> Dict:
     """Run a complete study (/root/reference/src/ablation.py:1240-1473).
 
@@ -601,6 +603,7 @@ def run_ablation_study(
             ablation_folder=ablation_folder,
             precision=precision,
             physics_backend=physics_backend,
+            base_channels=base_channels,
         )
         for variant in variants
     ]

@@ -57,13 +57,16 @@ def make_json_serializable(obj: Any) -> Any:
     return str(obj)
 
 
-def load_unet_params(model_path, model: Optional[UNet] = None):
+def load_unet_params(model_path, model: Optional[UNet] = None, base_channels: int = 64):
     """(model, params) from a msgpack artifact
     (/root/reference/src/evaluate_comparison.py:61-76)."""
     import jax.numpy as jnp
 
     if model is None:
-        model = UNet(in_channels=1, out_channels=1, base_channels=64, dtype=jnp.bfloat16)
+        model = UNet(
+            in_channels=1, out_channels=1, base_channels=base_channels,
+            dtype=jnp.bfloat16,
+        )
     template = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1), jnp.float32))
     return model, load_params(model_path, template)
 
@@ -99,6 +102,7 @@ def evaluate_and_compare(
     threshold: float = 0.5,
     output_dir=None,
     test_data: Optional[DeviceDataset] = None,
+    base_channels: int = 64,
 ) -> Dict:
     """Evaluate both checkpoints + statistical comparison + artifacts
     (/root/reference/src/evaluate_comparison.py:79-227)."""
@@ -109,7 +113,9 @@ def evaluate_and_compare(
     print("MODEL EVALUATION AND STATISTICAL COMPARISON")
     print("=" * 70)
     print("\nLoading models...")
-    model, baseline_params = load_unet_params(baseline_model_path)
+    model, baseline_params = load_unet_params(
+        baseline_model_path, base_channels=base_channels
+    )
     _, pde_params = load_unet_params(pde_model_path, model)
 
     if test_data is None:
@@ -191,6 +197,7 @@ def run_repeated_evaluations(
     threshold: float = 0.5,
     output_dir=None,
     test_data: Optional[DeviceDataset] = None,
+    base_channels: int = 64,
 ) -> Dict:
     """Pool per-image metrics across N seed-paired checkpoint pairs, then
     compare (/root/reference/src/evaluate_comparison.py:230-396)."""
@@ -212,7 +219,7 @@ def run_repeated_evaluations(
         zip(baseline_model_paths, pde_model_paths)
     ):
         print(f"\n{'=' * 70}\nRun {run_idx + 1}/{len(baseline_model_paths)}\n{'=' * 70}")
-        model, b_params = load_unet_params(b_path, model)
+        model, b_params = load_unet_params(b_path, model, base_channels)
         _, p_params = load_unet_params(p_path, model)
         bm = evaluate_model(model.apply, b_params, test_data, batch_size)
         pm = evaluate_model(model.apply, p_params, test_data, batch_size)

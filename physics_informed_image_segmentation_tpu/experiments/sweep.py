@@ -125,8 +125,17 @@ def run_batched_sweep(
     min_delta: float = 1e-4,
     shuffle_key: Optional[jax.Array] = None,
     seed: int = 42,
+    member_seeds: Optional[np.ndarray] = None,
 ) -> Dict:
-    """Train M grid members simultaneously from shared ``init_params``.
+    """Train M grid members simultaneously from ``init_params``.
+
+    ``init_params`` may be a single pytree (broadcast to all members —
+    the sensitivity-sweep case, where every serial run would share the
+    same seed-42 init and dropout stream) or a stacked pytree with a
+    leading member axis (multi-seed replication).  ``member_seeds``
+    gives each member its own dropout stream; by default all members
+    share one stream, matching the serial reference where every variant
+    reseeds to the same value (/root/reference/src/ablation.py:216-220).
 
     Returns dict with stacked ``params`` (leading axis M), ``stop_epoch``
     (M,), and ``history`` — per-epoch per-member metric arrays of shape
@@ -136,11 +145,24 @@ def run_batched_sweep(
     scalars_dev = {k: jnp.asarray(v) for k, v in scalars.items()}
     tx = optax.adamw(learning_rate=learning_rate, weight_decay=1e-5)
 
-    stacked_params = jax.tree_util.tree_map(
-        lambda p: jnp.broadcast_to(p[None], (m_count,) + p.shape), init_params
-    )
+    leaves = jax.tree_util.tree_leaves(init_params)
+    already_stacked = all(
+        leaf.ndim > 0 and leaf.shape[0] == m_count for leaf in leaves
+    ) and m_count > 1
+    if already_stacked:
+        stacked_params = init_params
+    else:
+        stacked_params = jax.tree_util.tree_map(
+            lambda p: jnp.broadcast_to(p[None], (m_count,) + p.shape), init_params
+        )
     stacked_opt = jax.vmap(tx.init)(stacked_params)
-    dropout_keys = jax.random.split(jax.random.key(seed), m_count)
+    if member_seeds is not None:
+        dropout_keys = jax.vmap(jax.random.key)(jnp.asarray(member_seeds))
+    else:
+        # one shared dropout stream — serial-reference parity
+        dropout_keys = jnp.broadcast_to(
+            jax.random.key(seed), (m_count,)
+        )
 
     if shuffle_key is None:
         shuffle_key = jax.random.key(seed + 1)
@@ -346,6 +368,7 @@ def run_batched_study(
     early_stopping_patience: int = 10,
     output_dir=None,
     precision: str = "bf16",
+    base_channels: int = 64,
 ) -> Dict:
     """Run a sensitivity study (S1/S2/S3-shaped) as one batched launch.
 
@@ -408,7 +431,7 @@ def run_batched_study(
     model = UNet(
         in_channels=1,
         out_channels=1,
-        base_channels=64,
+        base_channels=base_channels,
         output_activation=base.output_activation,
         intermediate_activation=base.intermediate_activation,
         dtype=dtype,

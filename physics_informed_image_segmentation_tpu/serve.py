@@ -55,10 +55,11 @@ class Predictor:
         batch_size: int = 8,
         image_size=(128, 128),
         precision: str = "bf16",
+        base_channels: int = 64,
     ):
         dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") else jnp.float32
         self.model = model or UNet(
-            in_channels=1, out_channels=1, base_channels=64, dtype=dtype
+            in_channels=1, out_channels=1, base_channels=base_channels, dtype=dtype
         )
         self.batch_size = batch_size
         self.image_size = tuple(image_size)

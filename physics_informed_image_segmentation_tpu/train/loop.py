@@ -88,6 +88,7 @@ def train(
     make_plots: bool = True,
     verbose: bool = True,
     checkpoint_every: int = 0,
+    base_channels: int = 64,
 ) -> dict:
     """Run the full two-stage (or single-stage) pipeline; returns artifacts.
 
@@ -164,7 +165,7 @@ def train(
     model = UNet(
         in_channels=1,
         out_channels=1,
-        base_channels=64,
+        base_channels=base_channels,
         dtype=_precision_dtype(precision),
     )
     h, w = int(train_data.images.shape[1]), int(train_data.images.shape[2])

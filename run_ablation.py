@@ -72,6 +72,10 @@ def main():
         choices=["auto", "pallas", "jax"],
     )
     parser.add_argument(
+        "--base-channels", type=int, default=64,
+        help="U-Net base channel count (default: 64, the reference architecture)",
+    )
+    parser.add_argument(
         "--batched", action="store_true",
         help="Run S1-S3 sensitivity grids as one vmapped TPU launch",
     )
@@ -124,6 +128,7 @@ def main():
                 early_stopping_patience=args.early_stopping_patience,
                 output_dir=Path(args.output_dir).resolve() if args.output_dir else None,
                 precision=args.precision,
+                base_channels=args.base_channels,
             )
         else:
             results = run_ablation_study(
@@ -145,6 +150,7 @@ def main():
                 output_dir=Path(args.output_dir).resolve() if args.output_dir else None,
                 precision=args.precision,
                 physics_backend=args.physics_backend,
+                base_channels=args.base_channels,
             )
 
         print(f"\nAblation {ablation_name} complete!")

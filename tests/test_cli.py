@@ -70,6 +70,7 @@ def test_main_cli_end_to_end(data_root):
         [
             str(REPO / "main.py"),
             "--stage1-epochs", "2", "--stage2-epochs", "2",
+            "--base-channels", "8",
             "--batch-size", "4", "--precision", "f32",
             "--physics-backend", "jax", "--seed", "0",
         ],
@@ -96,6 +97,7 @@ def test_evaluate_cli(data_root):
         [
             str(REPO / "evaluate.py"),
             "--baseline", str(baseline), "--pde", str(pde),
+            "--base-channels", "8",
         ],
         cwd=data_root,
     )
@@ -110,6 +112,7 @@ def test_run_ablation_cli(data_root):
         [
             str(REPO / "run_ablation.py"),
             "--ablation", "R1",
+            "--base-channels", "8",
             "--stage1-epochs", "1", "--stage2-epochs", "1",
             "--batch-size", "4", "--precision", "f32",
             "--physics-backend", "jax",

@@ -146,3 +146,40 @@ class TestBatchedStudy:
             assert (folder / f"{stem}_stage2_metrics.csv").exists()
         assert (folder / "shared_stage1_metrics.csv").exists()
         assert Path(res["summary_csv"]).exists()
+
+
+class TestMultiSeed:
+    def test_member_seeds_and_stacked_inits(self, setup):
+        """Multi-seed replication: per-member inits + dropout streams."""
+        model, _, tr, va = setup
+        model_do = UNet(base_channels=4, dropout=0.2)
+        inits = [
+            model_do.init(jax.random.key(s), jnp.zeros((1, 32, 32, 1)))
+            for s in (0, 1)
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *inits)
+        sc = {k: np.repeat(v, 2) for k, v in _scalars(1).items()}
+        out = run_batched_sweep(
+            model_do, stacked, sc, tr, va,
+            num_epochs=1, batch_size=4, learning_rate=1e-3,
+            member_seeds=np.asarray([10, 20]),
+        )
+        a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[0], out["params"]))
+        b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[1], out["params"]))
+        assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+    def test_shared_dropout_stream_keeps_identical_members_identical(self, setup):
+        """With dropout ON and identical scalars, members stay identical
+        because the dropout stream is shared (serial-reference parity)."""
+        _, _, tr, va = setup
+        model_do = UNet(base_channels=4, dropout=0.2)
+        params = model_do.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        sc = {k: np.repeat(v, 2) for k, v in _scalars(1).items()}
+        out = run_batched_sweep(
+            model_do, params, sc, tr, va,
+            num_epochs=1, batch_size=4, learning_rate=1e-3,
+        )
+        a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[0], out["params"]))
+        b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[1], out["params"]))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
