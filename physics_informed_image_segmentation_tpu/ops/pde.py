@@ -31,7 +31,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = [

@@ -15,7 +15,7 @@ path.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

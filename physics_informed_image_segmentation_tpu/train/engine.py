@@ -31,8 +31,8 @@ Metric semantics preserved from the reference (important quirks):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
+
+
 from typing import Any, Callable, Optional
 
 import jax

@@ -14,8 +14,6 @@ dataclass that is hashable, so jitted train steps specialise on it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
