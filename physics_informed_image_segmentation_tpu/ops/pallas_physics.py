@@ -306,6 +306,140 @@ def _fused_bwd(D, a, eps, use_reaction, residuals, cot):
 fused_physics_sums.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Padded-block variant (for spatially-sharded fields with halo exchange)
+# ---------------------------------------------------------------------------
+
+
+def _padded_fwd_kernel(D, a, eps, use_reaction, p_ref, sums_ref):
+    """Physics sums over the interior of a halo-padded (Hp, Wp) block."""
+    i = pl.program_id(0)
+    hp, wp = p_ref.shape[1], p_ref.shape[2]
+    h, w = hp - 2, wp - 2
+    p = p_ref[0].astype(jnp.float32)
+    u = p[1:-1, 1:-1]
+
+    lap = _stencil(p, _LAP_TAPS, h, w)
+    r = D * lap
+    if use_reaction:
+        r = r + u * (1.0 - u) * (u - a)
+    gx = _stencil(p, _GX_TAPS, h, w)
+    gy = _stencil(p, _GY_TAPS, h, w)
+    one_minus = 1.0 - u
+    pf = (eps / 2.0) * (gx * gx + gy * gy) + (1.0 / eps) * (u * u) * (
+        one_minus * one_minus
+    )
+    sums_ref[i, 0] = jnp.sum(r * r)
+    sums_ref[i, 1] = jnp.sum(pf)
+
+
+def _padded_bwd_kernel(D, a, eps, use_reaction, p_ref, cot_ref, dp_ref):
+    """d(sums)/d(padded block): zero-BC transpose on the padded grid —
+    no mirror folds here; the caller's halo exchange owns the boundary
+    semantics and its AD (ppermute transpose) routes halo gradients."""
+    i = pl.program_id(0)
+    hp, wp = p_ref.shape[1], p_ref.shape[2]
+    h, w = hp - 2, wp - 2
+    p = p_ref[0].astype(jnp.float32)
+    u = p[1:-1, 1:-1]
+    c_rd = cot_ref[i, 0]
+    c_pf = cot_ref[i, 1]
+
+    lap = _stencil(p, _LAP_TAPS, h, w)
+    r = D * lap
+    if use_reaction:
+        r = r + u * (1.0 - u) * (u - a)
+    gx = _stencil(p, _GX_TAPS, h, w)
+    gy = _stencil(p, _GY_TAPS, h, w)
+
+    def scatter_full(v, taps):
+        """Zero-BC full correlation of interior field v with flip(K),
+        landing on the (Hp, Wp) padded grid."""
+        out = None
+        for (rr, cc), wgt in taps:
+            # interior (i,j) reads p[i+rr, j+cc]; transpose scatters
+            # v[i,j] into padded position (i+rr, j+cc):
+            term = wgt * _shift0(
+                jnp.pad(v, ((1, 1), (1, 1))), rr - 1, cc - 1, hp, wp
+            )
+            out = term if out is None else out + term
+        return out
+
+    dp = c_rd * 2.0 * D * scatter_full(r, _LAP_TAPS)
+    dp = dp + c_pf * eps * (
+        scatter_full(gx, _GX_TAPS) + scatter_full(gy, _GY_TAPS)
+    )
+
+    interior = jnp.zeros((hp, wp), jnp.float32)
+    add = jnp.zeros((h, w), jnp.float32)
+    if use_reaction:
+        f_prime = -3.0 * u * u + 2.0 * (1.0 + a) * u - a
+        add = add + c_rd * 2.0 * f_prime * r
+    add = add + c_pf * (1.0 / eps) * 2.0 * u * (1.0 - u) * (1.0 - 2.0 * u)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    inner = (ri >= 1) & (ri <= h) & (ci >= 1) & (ci <= w)
+    interior = jnp.where(inner, jnp.pad(add, ((1, 1), (1, 1))), 0.0)
+    dp_ref[0] = dp + interior
+
+
+def _padded_fwd_call(p, D, a, eps, use_reaction):
+    b, hp, wp = p.shape
+    kernel = functools.partial(_padded_fwd_kernel, D, a, eps, use_reaction)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2), jnp.float32),
+        interpret=_interpret(),
+    )(p)
+
+
+def _padded_bwd_call(p, cot, D, a, eps, use_reaction):
+    b, hp, wp = p.shape
+    kernel = functools.partial(_padded_bwd_kernel, D, a, eps, use_reaction)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        interpret=_interpret(),
+    )(p, cot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def padded_physics_sums(p, D, a, eps, use_reaction=True):
+    """RD-residual and phase-field energy sums over the interior of a
+    halo-padded field, shape (B, 2) = ``[Σr², Σpf]``.
+
+    ``p`` is (B, H+2, W+2) with the ghost ring ALREADY filled (neighbor
+    halo rows from `ppermute`, mirror rows at global edges) — see
+    :func:`physics_informed_image_segmentation_tpu.parallel.halo.halo_exchange_pad`.
+    The backward pass is fused Pallas too; gradients w.r.t. the ghost
+    ring flow back through the caller's halo exchange (shard_map AD
+    transposes the ppermute automatically).
+    """
+    return _padded_fwd_call(p, D, a, eps, use_reaction)
+
+
+def _padded_fwd(p, D, a, eps, use_reaction):
+    return _padded_fwd_call(p, D, a, eps, use_reaction), p
+
+
+def _padded_bwd(D, a, eps, use_reaction, p, cot):
+    return (_padded_bwd_call(p, cot, D, a, eps, use_reaction),)
+
+
+padded_physics_sums.defvjp(_padded_fwd, _padded_bwd)
+
+
 def fused_loss_components(
     pred: jnp.ndarray,
     target: jnp.ndarray,

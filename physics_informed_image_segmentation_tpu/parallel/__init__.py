@@ -3,6 +3,7 @@
 from .halo import (  # noqa: F401
     halo_exchange_pad,
     halo_phase_field_loss,
+    halo_physics_loss_pallas,
     halo_residual_loss,
 )
 from .mesh import (  # noqa: F401
@@ -33,5 +34,6 @@ __all__ = [
     "shard_train_state",
     "halo_exchange_pad",
     "halo_residual_loss",
+    "halo_physics_loss_pallas",
     "halo_phase_field_loss",
 ]

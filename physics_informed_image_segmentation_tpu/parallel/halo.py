@@ -24,7 +24,12 @@ from jax import shard_map
 
 from .mesh import SPACE_AXIS
 
-__all__ = ["halo_exchange_pad", "halo_residual_loss", "halo_phase_field_loss"]
+__all__ = [
+    "halo_exchange_pad",
+    "halo_residual_loss",
+    "halo_phase_field_loss",
+    "halo_physics_loss_pallas",
+]
 
 
 def halo_exchange_pad(u_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -112,3 +117,44 @@ def halo_phase_field_loss(
     """Phase-field energy on an H-sharded field (see halo_residual_loss)."""
     fn = _make_halo_loss(mesh, "pf", 1.0, 0.5, epsilon)
     return fn(u)
+
+
+def halo_physics_loss_pallas(
+    u: jnp.ndarray,
+    mesh: Mesh,
+    diffusion_coeff: float = 1.0,
+    reaction_threshold: float = 0.5,
+    epsilon: float = 0.05,
+    use_reaction_term: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both physics losses on an H-sharded field with the FUSED Pallas
+    kernel doing the local compute.
+
+    The division of labour is the production pattern for megapixel
+    fields: `ppermute` halo exchange (XLA collective over ICI) fills the
+    ghost ring, one fused Pallas pass computes both energies from VMEM,
+    and a scalar `psum` reduces across shards.  Differentiable end to
+    end — the kernel's custom VJP produces gradients w.r.t. the padded
+    block and shard_map AD transposes the ppermute for the halo rows.
+
+    Returns ``(mean(r²), mean(phase_field))``.
+    """
+    from ..ops.pallas_physics import padded_physics_sums
+
+    spec = P(None, SPACE_AXIS, None)
+
+    def local(u_local):
+        p = halo_exchange_pad(u_local, SPACE_AXIS)
+        sums = padded_physics_sums(
+            p, diffusion_coeff, reaction_threshold, epsilon, use_reaction_term
+        )
+        rd = jax.lax.psum(jnp.sum(sums[:, 0]), SPACE_AXIS)
+        pf = jax.lax.psum(jnp.sum(sums[:, 1]), SPACE_AXIS)
+        count = jax.lax.psum(jnp.asarray(u_local.size, jnp.float32), SPACE_AXIS)
+        return rd / count, pf / count
+
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
+    # metadata yet, so the collective-safety check must be disabled here
+    return shard_map(
+        local, mesh=mesh, in_specs=spec, out_specs=(P(), P()), check_vma=False
+    )(u)

@@ -130,3 +130,43 @@ class TestDataParallel:
         assert np.isfinite(float(loss))
         state, loss2 = step(state, x, y)
         assert float(loss2) < float(loss) * 1.5  # sane progression
+
+
+class TestHaloPallas:
+    """shard_map halo exchange + fused Pallas local compute."""
+
+    def test_values_match_unsharded(self, rng):
+        from physics_informed_image_segmentation_tpu.parallel import (
+            halo_physics_loss_pallas,
+        )
+
+        mesh = make_mesh(data=2, space=4)
+        u = jnp.asarray(rng.uniform(0.05, 0.95, size=(2, 64, 32)).astype(np.float32))
+        rd, pf = halo_physics_loss_pallas(u, mesh, 5.0, 0.5, 0.05)
+        np.testing.assert_allclose(
+            float(rd), float(pde.pde_residual_loss(u, 5.0, 0.5)), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(pf), float(pde.phase_field_loss(u, 0.05)), rtol=1e-5
+        )
+
+    def test_grad_matches_unsharded(self, rng):
+        from physics_informed_image_segmentation_tpu.parallel import (
+            halo_physics_loss_pallas,
+        )
+
+        mesh = make_mesh(data=1, space=8)
+        u = jnp.asarray(rng.uniform(0.1, 0.9, size=(1, 32, 16)).astype(np.float32))
+
+        def sharded(v):
+            rd, pf = halo_physics_loss_pallas(v, mesh, 2.0, 0.5, 0.05)
+            return rd + 0.5 * pf
+
+        def unsharded(v):
+            return pde.pde_residual_loss(v, 2.0, 0.5) + 0.5 * pde.phase_field_loss(
+                v, 0.05
+            )
+
+        g_s = np.asarray(jax.grad(sharded)(u))
+        g_u = np.asarray(jax.grad(unsharded)(u))
+        np.testing.assert_allclose(g_s, g_u, atol=1e-6)
