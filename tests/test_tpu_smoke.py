@@ -48,6 +48,24 @@ _SCRIPT = textwrap.dedent(
     assert gdiff < 1e-5, f"pallas bwd mismatch on TPU: {gdiff}"
     assert fdiff < 1e-6, f"pallas fwd mismatch on TPU: {fdiff}"
 
+    # padded-block kernel (spatial-parallel local compute) compiles on TPU
+    from physics_informed_image_segmentation_tpu.ops import pde as pde_ops
+    from physics_informed_image_segmentation_tpu.ops.pallas_physics import (
+        padded_physics_sums,
+    )
+
+    pp = jnp.pad(pred, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def padded_total(v):
+        s = padded_physics_sums(v, 5.0, 0.5, 0.05, True)
+        return jnp.sum(s) / pred.size
+
+    gp = jax.jit(jax.grad(padded_total))(pp)
+    assert np.isfinite(np.asarray(gp)).all()
+    v_pad = float(jax.jit(lambda v: jnp.sum(padded_physics_sums(v, 5.0, 0.5, 0.05, True)[:, 0]))(pp))
+    v_ref = float(pde_ops.pde_residual_loss(pred, 5.0, 0.5)) * pred.size
+    assert abs(v_pad - v_ref) / abs(v_ref) < 1e-5, (v_pad, v_ref)
+
     # one real train epoch on the chip (bf16, pallas loss, on-device metrics)
     data = DeviceDataset.from_numpy(*make_blobs(32, 128, 128, seed=0))
     model = UNet(base_channels=64, dtype=jnp.bfloat16)
