@@ -65,6 +65,8 @@ from .utils.plot import (  # noqa: F401
 
 __version__ = "0.1.0"
 
+
+
 __all__ = [
     # data
     "CellSegmentationDataset",
@@ -110,4 +112,26 @@ __all__ = [
     "plot_two_stage_comparison",
     "plot_all_metrics",
     "plot_training_results",
+]
+
+# --- drop-in aliases matching the reference's exact function names
+# (/root/reference/src/__init__.py:35-67) for users migrating code.
+# The reference's PDERegularization module object maps to the functional
+# ops in `ops.pde` + `LossConfig`; boundary F1's single-sample form maps
+# to the batched on-device implementation. ---
+compute_dice_score = dice_score
+compute_dice_score_batch = dice_score_per_sample
+compute_iou = iou_score
+compute_iou_batch = iou_score_per_sample
+compute_boundary_f1 = boundary_f1_per_sample
+compute_boundary_f1_batch = boundary_f1_per_sample
+compute_hausdorff_distance = hausdorff_distance_np
+__all__ += [
+    "compute_dice_score",
+    "compute_dice_score_batch",
+    "compute_iou",
+    "compute_iou_batch",
+    "compute_boundary_f1",
+    "compute_boundary_f1_batch",
+    "compute_hausdorff_distance",
 ]
