@@ -129,3 +129,62 @@ class TestSameWeightsSameBatch:
 
         np.testing.assert_allclose(float(loss0), float(loss0_t.item()), rtol=2e-5)
         np.testing.assert_allclose(float(loss1), float(loss1_t.item()), rtol=2e-4)
+
+
+class TestMultiEpochTrajectory:
+    @pytest.mark.slow
+    def test_three_epoch_loss_trajectory_matches(self, shared_setup):
+        """Same init + same batch order + AdamW: per-epoch mean losses of
+        the two frameworks track each other for multiple epochs."""
+        import copy
+
+        ref_unet, flax_model, params, images, masks = shared_setup
+        train_mod = _ref_module("train")
+        loss_mod = _ref_module("loss")
+        lr = 3e-4
+
+        # --- torch side: 3 epochs over fixed sequential batches
+        tm = copy.deepcopy(ref_unet)
+        tm.train()
+        criterion = loss_mod.DiceBCEPDELoss(
+            pde_weight=1e-4, phase_field_weight=1e-4,
+            diffusion_coeff=5.0, reaction_threshold=0.5, epsilon=0.05,
+        )
+        opt = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=1e-5)
+        xs = torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ys = torch.from_numpy(masks.transpose(0, 3, 1, 2))
+        loader = [(xs[i : i + 4], ys[i : i + 4]) for i in range(0, 8, 4)]
+        torch_losses = []
+        for _ in range(3):
+            res = train_mod.train_epoch(
+                tm, loader, criterion, opt, torch.device("cpu"),
+                return_components=False, compute_metrics=False,
+            )
+            torch_losses.append(res["loss"])
+
+        # --- our side: same batches in the same order
+        from physics_informed_image_segmentation_tpu.data import DeviceDataset
+        from physics_informed_image_segmentation_tpu.data.pipeline import (
+            epoch_batch_indices,
+        )
+        from physics_informed_image_segmentation_tpu.train import (
+            make_train_epoch_fn,
+        )
+
+        cfg = LossConfig(
+            pde_weight=1e-4, phase_field_weight=1e-4, diffusion_coeff=5.0,
+            epsilon=0.05, backend="jax",
+        )
+        data = DeviceDataset.from_numpy(images, masks)
+        idx, valid = epoch_batch_indices(8, 4, shuffle=False)
+        state = create_train_state(
+            flax_model, jax.random.key(0), lr, input_shape=(1, 64, 64, 1),
+            params=params,
+        )
+        epoch_fn = make_train_epoch_fn(flax_model, cfg, compute_metrics=False)
+        our_losses = []
+        for _ in range(3):
+            state, res = epoch_fn(state, data.images, data.masks, idx, valid)
+            our_losses.append(float(res["loss"]))
+
+        np.testing.assert_allclose(our_losses, torch_losses, rtol=1e-3)
