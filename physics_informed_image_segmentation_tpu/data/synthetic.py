@@ -25,6 +25,7 @@ def make_blobs(
     max_cells: int = 5,
     noise: float = 0.15,
     seed: int = 0,
+    r_range: tuple[float, float] = (0.05, 0.18),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Random soft-disk 'cells' on a noisy background.
 
@@ -43,7 +44,7 @@ def make_blobs(
         for _ in range(k):
             cy = rng.uniform(0.15, 0.85) * height
             cx = rng.uniform(0.15, 0.85) * width
-            r = rng.uniform(0.05, 0.18) * min(height, width)
+            r = rng.uniform(*r_range) * min(height, width)
             d2 = (y - cy) ** 2 + (x - cx) ** 2
             inside = d2 <= r * r
             img += 0.7 * np.exp(-d2 / (2 * (0.7 * r) ** 2))

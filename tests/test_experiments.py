@@ -41,6 +41,7 @@ _FAST = dict(
     early_stopping_patience=10,
     precision="f32",
     physics_backend="jax",
+    base_channels=8,
 )
 
 
@@ -171,7 +172,7 @@ class TestComparison:
         from physics_informed_image_segmentation_tpu.models import UNet
         from physics_informed_image_segmentation_tpu.train import save_params
 
-        model = UNet(base_channels=64, dtype=jnp.float32)
+        model = UNet(base_channels=8, dtype=jnp.float32)
         p1 = model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 1)))
         p2 = model.init(jax.random.key(2), jnp.zeros((1, 32, 32, 1)))
         b_path = save_params(p1, tmp_path / "baseline.msgpack")
@@ -180,7 +181,7 @@ class TestComparison:
         res = evaluate_and_compare(
             b_path, p_path, None, None,
             batch_size=4, output_dir=tmp_path / "out",
-            test_data=datasets["in_dist"],
+            test_data=datasets["in_dist"], base_channels=8,
         )
         assert Path(res["results_csv"]).exists()
         assert Path(res["summary_csv"]).exists()
@@ -195,7 +196,7 @@ class TestComparison:
         from physics_informed_image_segmentation_tpu.models import UNet
         from physics_informed_image_segmentation_tpu.train import save_params
 
-        model = UNet(base_channels=64, dtype=jnp.float32)
+        model = UNet(base_channels=8, dtype=jnp.float32)
         paths = []
         for i in range(2):
             p = model.init(jax.random.key(i), jnp.zeros((1, 32, 32, 1)))
@@ -203,6 +204,7 @@ class TestComparison:
         res = run_repeated_evaluations(
             paths, paths, None, None, batch_size=4,
             output_dir=tmp_path / "out", test_data=datasets["in_dist"],
+            base_channels=8,
         )
         # pooled across 2 runs × 5 images
         assert len(res["baseline_metrics"]["dice_scores"]) == 10

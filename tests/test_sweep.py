@@ -134,7 +134,7 @@ class TestBatchedStudy:
         res = run_batched_study(
             "SB", variants, datasets=datasets,
             batch_size=4, learning_rate=1e-4, stage1_epochs=2, stage2_epochs=2,
-            output_dir=tmp_path, precision="f32",
+            output_dir=tmp_path, precision="f32", base_channels=8,
         )
         folder = Path(res["ablation_folder"])
         data = json.loads(Path(res["results_json"]).read_text())
