@@ -347,6 +347,7 @@ def train_stage(
     epoch_callback=None,
     checkpoint_dir=None,
     checkpoint_every: int = 0,
+    timing_out: Optional[dict] = None,
 ) -> tuple[TrainState, dict, int, list[dict]]:
     """Host-side stage loop (/root/reference/src/train.py:289-391).
 
@@ -358,20 +359,30 @@ def train_stage(
     train-state (params+optimizer+step+PRNG) every N epochs — the
     resume capability the reference lacks (SURVEY.md §5); restore with
     :func:`.checkpoint.restore_train_state`.
+
+    ``timing_out``: optional dict filled with ``epoch_seconds`` and
+    ``steady_state_images_per_sec`` (first epoch excluded — it includes
+    XLA compilation).
     """
+    import time as _time
+
     from ..data.pipeline import epoch_batch_indices
     from .checkpoint import save_train_state
     from .csvlog import save_metrics_to_csv
+
+    import time as _time
 
     best_val_dice = 0.0
     best_epoch = 0
     best_metrics: dict = {}
     all_metrics: list[dict] = []
+    epoch_seconds: list[float] = []
 
     n_train, n_val = train_data.n, val_data.n
     val_idx, val_valid = epoch_batch_indices(n_val, batch_size, shuffle=False)
 
     for epoch in range(num_epochs):
+        t_epoch = _time.perf_counter()
         key = jax.random.fold_in(shuffle_key, epoch)
         idx, valid = epoch_batch_indices(n_train, batch_size, shuffle=True, key=key)
         state, train_dev = train_epoch_fn(
@@ -383,6 +394,7 @@ def train_stage(
         # single host sync per epoch
         train_results = {k: float(v) for k, v in train_dev.items()}
         val_results = {k: float(v) for k, v in val_dev.items()}
+        epoch_seconds.append(_time.perf_counter() - t_epoch)
 
         if val_results["dice_score"] > best_val_dice:
             best_val_dice = val_results["dice_score"]
@@ -437,4 +449,10 @@ def train_stage(
                     )
                 break
 
+    if timing_out is not None:
+        steady = epoch_seconds[1:] if len(epoch_seconds) > 1 else epoch_seconds
+        timing_out["epoch_seconds"] = epoch_seconds
+        timing_out["steady_state_images_per_sec"] = (
+            n_train / (sum(steady) / len(steady)) if steady else 0.0
+        )
     return state, best_metrics, best_epoch, all_metrics

@@ -189,6 +189,7 @@ def train(
     eval_cfg_stage1 = LossConfig(backend=physics_backend)
 
     n_images_trained = 0
+    stage_timings: list[dict] = []
     t_start = time.perf_counter()
 
     if use_two_stage:
@@ -200,6 +201,7 @@ def train(
             print("Objective: L = L_Dice + L_BCE")
         train_fn = make_train_epoch_fn(model, eval_cfg_stage1)
         eval_fn = make_eval_epoch_fn(model, eval_cfg_stage1)
+        _t_s1: dict = {}
         state, best1, best1_epoch, s1_metrics = train_stage(
             state,
             train_fn,
@@ -213,11 +215,13 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_stage1,
+            timing_out=_t_s1,
             checkpoint_dir=(models_dir / "checkpoints" / "stage1")
             if checkpoint_every > 0 else None,
             checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s1_metrics) * train_data.n
+        stage_timings.append(_t_s1)
         if verbose and best1:
             print(
                 f"\nStage I complete. Best validation Dice: "
@@ -262,6 +266,7 @@ def train(
         )
         train_fn2 = make_train_epoch_fn(model, stage2_loss_cfg)
         eval_fn2 = make_eval_epoch_fn(model, stage2_loss_cfg)
+        _t_s2: dict = {}
         state, best2, best2_epoch, s2_metrics = train_stage(
             state,
             train_fn2,
@@ -275,11 +280,13 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_stage2,
+            timing_out=_t_s2,
             checkpoint_dir=(models_dir / "checkpoints" / "stage2")
             if checkpoint_every > 0 else None,
             checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s2_metrics) * train_data.n
+        stage_timings.append(_t_s2)
         if verbose and best2:
             print(
                 f"\nStage II complete. Best validation Dice: "
@@ -313,6 +320,7 @@ def train(
         csv_path_single = output_dir / f"metrics_single_stage_{timestamp}{fraction_str}.csv"
         train_fn = make_train_epoch_fn(model, stage2_loss_cfg)
         eval_fn = make_eval_epoch_fn(model, stage2_loss_cfg)
+        _t_single: dict = {}
         state, best, best_epoch, s_metrics = train_stage(
             state,
             train_fn,
@@ -326,11 +334,13 @@ def train(
             early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
             verbose=verbose,
             csv_path=csv_path_single,
+            timing_out=_t_single,
             checkpoint_dir=(models_dir / "checkpoints" / "single")
             if checkpoint_every > 0 else None,
             checkpoint_every=checkpoint_every,
         )
         n_images_trained += len(s_metrics) * train_data.n
+        stage_timings.append(_t_single)
         model_path_stage2 = save_params(
             state.params, models_dir / "unet_pde_regularized.msgpack"
         )
@@ -345,10 +355,20 @@ def train(
 
     elapsed = time.perf_counter() - t_start
     results["images_per_sec"] = n_images_trained / elapsed if elapsed > 0 else 0.0
+    steady = [
+        t["steady_state_images_per_sec"] for t in stage_timings
+        if t.get("steady_state_images_per_sec")
+    ]
+    results["steady_state_images_per_sec"] = (
+        sum(steady) / len(steady) if steady else results["images_per_sec"]
+    )
+    results["stage_timings"] = stage_timings
     if verbose:
         print(
-            f"\nThroughput: {results['images_per_sec']:.1f} train images/sec "
-            f"({n_images_trained} images in {elapsed:.1f}s, incl. validation)"
+            f"\nThroughput: {results['steady_state_images_per_sec']:.1f} train "
+            "images/sec steady-state (compile epochs excluded; "
+            f"{n_images_trained} images in {elapsed:.1f}s wall incl. "
+            "validation and compilation)"
         )
 
     if make_plots:
