@@ -55,6 +55,7 @@ from .train import (  # noqa: F401
     evaluate_on_dataset,
     train,
     train_stage,
+    validate,
 )
 from .utils.plot import (  # noqa: F401
     plot_all_metrics,
@@ -94,6 +95,7 @@ __all__ = [
     # training
     "train",
     "train_stage",
+    "validate",
     "EarlyStopping",
     "evaluate_model",
     "evaluate_on_dataset",

@@ -15,7 +15,7 @@ from .engine import (  # noqa: F401
     make_train_epoch_fn,
     train_stage,
 )
-from .evaluation import evaluate_model, evaluate_on_dataset  # noqa: F401
+from .evaluation import evaluate_model, evaluate_on_dataset, validate  # noqa: F401
 from .loop import load_device_dataset, train  # noqa: F401
 from .objective import LossConfig, make_loss_and_components  # noqa: F401
 
@@ -31,6 +31,7 @@ __all__ = [
     "make_loss_and_components",
     "evaluate_model",
     "evaluate_on_dataset",
+    "validate",
     "save_params",
     "load_params",
     "save_train_state",

@@ -18,7 +18,7 @@ from ..data.pipeline import DeviceDataset, epoch_batch_indices
 from ..ops import metrics as M
 from ..ops.stats import format_metric_report
 
-__all__ = ["evaluate_model", "evaluate_on_dataset"]
+__all__ = ["evaluate_model", "evaluate_on_dataset", "validate"]
 
 
 def _eval_metrics_fn(apply_fn):
@@ -101,3 +101,28 @@ def evaluate_on_dataset(
     if verbose:
         print(format_metric_report(metrics, model_name=model_name))
     return metrics
+
+
+def validate(
+    model,
+    params,
+    data: DeviceDataset,
+    loss_cfg=None,
+    batch_size: int = 8,
+) -> Dict[str, float]:
+    """One validation pass, returning the reference `validate()` dict
+    (/root/reference/src/train.py:188-286): loss, dice_score (batch-mean
+    of global Dice), loss components, iou/boundary-F1 per-sample means.
+
+    Convenience wrapper over the jitted eval-epoch program for users
+    migrating from the reference API.
+    """
+    from ..data.pipeline import epoch_batch_indices
+    from .engine import make_eval_epoch_fn
+    from .objective import LossConfig
+
+    loss_cfg = loss_cfg or LossConfig()
+    eval_fn = make_eval_epoch_fn(model, loss_cfg)
+    idx, valid = epoch_batch_indices(data.n, batch_size, shuffle=False)
+    res = eval_fn(params, data.images, data.masks, idx, valid)
+    return {k: float(v) for k, v in res.items()}
