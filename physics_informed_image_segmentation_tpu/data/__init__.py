@@ -1,5 +1,6 @@
 """Data layer: COCO decode, device-resident pipeline, synthetic fixtures."""
 
+from .augment import d4_augment, flip_augment  # noqa: F401
 from .coco import CocoSegmentationSource, load_split, rasterize_polygons  # noqa: F401
 from .pipeline import (  # noqa: F401
     DeviceDataset,
@@ -12,6 +13,8 @@ from .synthetic import make_blobs, write_synthetic_coco  # noqa: F401
 
 __all__ = [
     "CocoSegmentationSource",
+    "d4_augment",
+    "flip_augment",
     "load_split",
     "rasterize_polygons",
     "DeviceDataset",

@@ -124,6 +124,7 @@ def make_train_epoch_fn(
     compute_metrics: bool = True,
     pmean_axis: Optional[str] = None,
     constrain_batch=None,
+    augment=None,
 ):
     """Build the jitted one-epoch training program.
 
@@ -138,6 +139,8 @@ def make_train_epoch_fn(
     array — used by :mod:`..parallel.sharding` to attach
     `with_sharding_constraint` so the SPMD partitioner shards the
     compute (grads then all-reduce automatically).
+    ``augment``: optional ``f(key, images, masks) -> (images, masks)``
+    applied on-device per batch (see :mod:`..data.augment`).
     """
     loss_fn = make_loss_and_components(loss_cfg)
 
@@ -150,6 +153,9 @@ def make_train_epoch_fn(
                 x, y = constrain_batch(x), constrain_batch(y)
             mask = _sample_mask(valid_b, x.ndim)
             dropout_key = jax.random.fold_in(state.dropout_key, state.step)
+            if augment is not None:
+                aug_key = jax.random.fold_in(dropout_key, 1)
+                x, y = augment(aug_key, x, y)
 
             def loss_of(params):
                 pred = state.apply_fn(

@@ -130,3 +130,62 @@ class TestSynthetic:
         a = make_blobs(2, 32, 32, seed=5)[0]
         b = make_blobs(2, 32, 32, seed=5)[0]
         np.testing.assert_array_equal(a, b)
+
+
+class TestAugment:
+    def test_d4_preserves_pairing_and_binary_masks(self):
+        import jax
+        import jax.numpy as jnp
+
+        from physics_informed_image_segmentation_tpu.data import d4_augment
+
+        images, masks = make_blobs(8, 32, 32, seed=0)
+        ai, am = d4_augment(jax.random.key(0), jnp.asarray(images), jnp.asarray(masks))
+        assert ai.shape == images.shape and am.shape == masks.shape
+        # exact symmetry: pixel multisets preserved per sample
+        np.testing.assert_allclose(
+            np.sort(np.asarray(ai).reshape(8, -1), axis=1),
+            np.sort(images.reshape(8, -1), axis=1),
+        )
+        assert set(np.unique(np.asarray(am))) <= {0.0, 1.0}
+        # same transform for image and mask: mask overlap statistics preserved
+        for i in range(8):
+            np.testing.assert_allclose(
+                float((np.asarray(ai[i]) * np.asarray(am[i])).sum()),
+                float((images[i] * masks[i]).sum()),
+                rtol=1e-5,
+            )
+
+    def test_flip_augment_nonsquare(self):
+        import jax
+        import jax.numpy as jnp
+
+        from physics_informed_image_segmentation_tpu.data import flip_augment
+
+        images, masks = make_blobs(4, 16, 32, seed=1)
+        ai, am = flip_augment(jax.random.key(3), jnp.asarray(images), jnp.asarray(masks))
+        assert ai.shape == images.shape
+        # some sample flipped (probability of none ≈ (1/4)^4)
+        assert not np.allclose(np.asarray(ai), images)
+
+    def test_augmented_training_epoch_runs(self):
+        import jax
+
+        from physics_informed_image_segmentation_tpu.data import d4_augment
+        from physics_informed_image_segmentation_tpu.models import UNet
+        from physics_informed_image_segmentation_tpu.train import (
+            LossConfig,
+            create_train_state,
+        )
+        from physics_informed_image_segmentation_tpu.train.engine import (
+            make_train_epoch_fn,
+        )
+
+        images, masks = make_blobs(8, 32, 32, seed=0)
+        data = DeviceDataset.from_numpy(images, masks)
+        model = UNet(base_channels=4, dropout=0.0)
+        fn = make_train_epoch_fn(model, LossConfig(backend="jax"), augment=d4_augment)
+        st = create_train_state(model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1))
+        idx, valid = epoch_batch_indices(data.n, 4, shuffle=False)
+        st, res = fn(st, data.images, data.masks, idx, valid)
+        assert np.isfinite(float(res["loss"]))
