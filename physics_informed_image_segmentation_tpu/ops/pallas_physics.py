@@ -333,7 +333,7 @@ def _padded_fwd_kernel(D, a, eps, use_reaction, p_ref, sums_ref):
     sums_ref[i, 1] = jnp.sum(pf)
 
 
-def _padded_bwd_kernel(D, a, eps, use_reaction, p_ref, cot_ref, dp_ref):
+def _padded_bwd_kernel(D, a, eps, use_reaction, p_ref, cot_ref, dp_ref, scratch_ref):
     """d(sums)/d(padded block): zero-BC transpose on the padded grid —
     no mirror folds here; the caller's halo exchange owns the boundary
     semantics and its AD (ppermute transpose) routes halo gradients."""
@@ -352,16 +352,24 @@ def _padded_bwd_kernel(D, a, eps, use_reaction, p_ref, cot_ref, dp_ref):
     gx = _stencil(p, _GX_TAPS, h, w)
     gy = _stencil(p, _GY_TAPS, h, w)
 
+    def embed(v):
+        """Place an (H, W) interior field at offset (1, 1) of the padded
+        grid.  Mosaic rejects both jnp.pad (concat) and value-level
+        dynamic_update_slice for these layouts, so go through a VMEM
+        scratch ref: sliced ref stores always lower."""
+        scratch_ref[:] = jnp.zeros((hp, wp), jnp.float32)
+        scratch_ref[1 : h + 1, 1 : w + 1] = v
+        return scratch_ref[:]
+
     def scatter_full(v, taps):
         """Zero-BC full correlation of interior field v with flip(K),
         landing on the (Hp, Wp) padded grid."""
+        vp = embed(v)
         out = None
         for (rr, cc), wgt in taps:
             # interior (i,j) reads p[i+rr, j+cc]; transpose scatters
             # v[i,j] into padded position (i+rr, j+cc):
-            term = wgt * _shift0(
-                jnp.pad(v, ((1, 1), (1, 1))), rr - 1, cc - 1, hp, wp
-            )
+            term = wgt * _shift0(vp, rr - 1, cc - 1, hp, wp)
             out = term if out is None else out + term
         return out
 
@@ -370,17 +378,12 @@ def _padded_bwd_kernel(D, a, eps, use_reaction, p_ref, cot_ref, dp_ref):
         scatter_full(gx, _GX_TAPS) + scatter_full(gy, _GY_TAPS)
     )
 
-    interior = jnp.zeros((hp, wp), jnp.float32)
     add = jnp.zeros((h, w), jnp.float32)
     if use_reaction:
         f_prime = -3.0 * u * u + 2.0 * (1.0 + a) * u - a
         add = add + c_rd * 2.0 * f_prime * r
     add = add + c_pf * (1.0 / eps) * 2.0 * u * (1.0 - u) * (1.0 - 2.0 * u)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    inner = (ri >= 1) & (ri <= h) & (ci >= 1) & (ci <= w)
-    interior = jnp.where(inner, jnp.pad(add, ((1, 1), (1, 1))), 0.0)
-    dp_ref[0] = dp + interior
+    dp_ref[0] = dp + embed(add)
 
 
 def _padded_fwd_call(p, D, a, eps, use_reaction):
@@ -410,6 +413,7 @@ def _padded_bwd_call(p, cot, D, a, eps, use_reaction):
         ],
         out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
         interpret=_interpret(),
     )(p, cot)
 
