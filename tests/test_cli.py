@@ -128,3 +128,16 @@ def test_run_ablation_cli(data_root):
     data = json.loads(results[0].read_text())
     assert len(data["results"]) == 4  # R1.0-R1.3
     assert "ALL ABLATION STUDIES COMPLETE" in r.stdout
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_multichip():
+    """The driver's multichip dry-run contract: 8-device mesh train step."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "__graft_entry__.py"), "8"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "dryrun_multichip OK" in r.stdout
