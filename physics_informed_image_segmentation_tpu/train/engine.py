@@ -354,6 +354,7 @@ def train_stage(
     checkpoint_dir=None,
     checkpoint_every: int = 0,
     timing_out: Optional[dict] = None,
+    save_best_path=None,
 ) -> tuple[TrainState, dict, int, list[dict]]:
     """Host-side stage loop (/root/reference/src/train.py:289-391).
 
@@ -369,6 +370,11 @@ def train_stage(
     ``timing_out``: optional dict filled with ``epoch_seconds`` and
     ``steady_state_images_per_sec`` (first epoch excluded — it includes
     XLA compilation).
+
+    ``save_best_path``: opt-in fix for the reference's
+    best-weights-never-restored quirk — when set, the params of every
+    new best-val-Dice epoch are saved there (msgpack).  The returned
+    state remains the LAST epoch's (default reference semantics).
     """
     import time as _time
 
@@ -406,6 +412,10 @@ def train_stage(
             best_val_dice = val_results["dice_score"]
             best_epoch = epoch + 1
             best_metrics = {"train": train_results, "val": val_results}
+            if save_best_path is not None:
+                from .checkpoint import save_params
+
+                save_params(state.params, save_best_path)
 
         epoch_metrics = {
             "epoch": epoch + 1,

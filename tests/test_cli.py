@@ -141,3 +141,32 @@ def test_graft_entry_dryrun_multichip():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "dryrun_multichip OK" in r.stdout
+
+
+class TestFlagParity:
+    """Every reference CLI flag must be accepted by our CLIs."""
+
+    @pytest.mark.parametrize(
+        "ours,theirs",
+        [
+            ("main.py", "/root/reference/main.py"),
+            ("run_ablation.py", "/root/reference/run_ablation.py"),
+            ("evaluate.py", "/root/reference/evaluate.py"),
+        ],
+    )
+    def test_reference_flags_accepted(self, ours, theirs):
+        import re
+
+        ref_flags = set(re.findall(r'"(--[a-z\-]+)"', Path(theirs).read_text())) | set(
+            re.findall(r"'(--[a-z\-]+)'", Path(theirs).read_text())
+        )
+        assert ref_flags, f"no flags parsed from {theirs}"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, str(REPO / ours), "--help"],
+            capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr
+        missing = [f for f in ref_flags if f not in r.stdout]
+        assert not missing, f"{ours} missing reference flags: {missing}"

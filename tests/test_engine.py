@@ -247,3 +247,29 @@ class TestStageCheckpointing:
             jax.device_get(state.params),
             jax.device_get(restored.params),
         )
+
+
+def test_save_best_checkpoint(tiny_setup, tmp_path):
+    """Opt-in best-weights capture (the reference never restores best)."""
+    from physics_informed_image_segmentation_tpu.train import LossConfig, load_params
+
+    model, state, data = tiny_setup
+    cfg = LossConfig(backend="jax")
+    best_path = tmp_path / "best.msgpack"
+    state, best, best_epoch, _ = train_stage(
+        state,
+        make_train_epoch_fn(model, cfg),
+        make_eval_epoch_fn(model, cfg),
+        data,
+        data,
+        batch_size=4,
+        num_epochs=3,
+        stage_name="T",
+        shuffle_key=jax.random.key(0),
+        verbose=False,
+        save_best_path=best_path,
+    )
+    assert best_path.exists()
+    restored = load_params(best_path, state.params)
+    # the artifact parses into the same tree structure
+    jax.tree_util.tree_map(lambda a, b: None, restored, state.params)
