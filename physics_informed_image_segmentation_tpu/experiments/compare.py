@@ -122,10 +122,14 @@ def evaluate_and_compare(
         test_data = _load_test_data(test_dir, test_json)
 
     print("\nEvaluating Baseline (Unconstrained) on test set...")
-    baseline_metrics = evaluate_model(model.apply, baseline_params, test_data, batch_size)
+    baseline_metrics = evaluate_model(
+        model.apply, baseline_params, test_data, batch_size, threshold=threshold
+    )
     print(format_metric_report(baseline_metrics, "Baseline (Unconstrained)"))
     print("\nEvaluating PDE-Constrained on test set...")
-    pde_metrics = evaluate_model(model.apply, pde_params, test_data, batch_size)
+    pde_metrics = evaluate_model(
+        model.apply, pde_params, test_data, batch_size, threshold=threshold
+    )
     print(format_metric_report(pde_metrics, "PDE-Constrained"))
 
     print("\n" + "=" * 70)
@@ -221,8 +225,8 @@ def run_repeated_evaluations(
         print(f"\n{'=' * 70}\nRun {run_idx + 1}/{len(baseline_model_paths)}\n{'=' * 70}")
         model, b_params = load_unet_params(b_path, model, base_channels)
         _, p_params = load_unet_params(p_path, model)
-        bm = evaluate_model(model.apply, b_params, test_data, batch_size)
-        pm = evaluate_model(model.apply, p_params, test_data, batch_size)
+        bm = evaluate_model(model.apply, b_params, test_data, batch_size, threshold=threshold)
+        pm = evaluate_model(model.apply, p_params, test_data, batch_size, threshold=threshold)
         for k in _METRIC_KEYS:
             all_baseline[k].extend(bm[k])
             all_pde[k].extend(pm[k])

@@ -21,18 +21,18 @@ from ..ops.stats import format_metric_report
 __all__ = ["evaluate_model", "evaluate_on_dataset", "validate"]
 
 
-def _eval_metrics_fn(apply_fn):
+def _eval_metrics_fn(apply_fn, threshold: float = 0.5):
     @jax.jit
     def run(params, images, masks, idx):
         def body(_, idx_b):
             pred = apply_fn(params, images[idx_b], deterministic=True)
             y = masks[idx_b]
             p2, y2 = pred[..., 0], y[..., 0]
-            pred_bin = (p2 > 0.5).astype(jnp.float32)
+            pred_bin = (p2 > threshold).astype(jnp.float32)
             return None, {
-                "dice": M.dice_score_per_sample(p2, y2),
-                "iou": M.iou_score_per_sample(p2, y2),
-                "bf1": M.boundary_f1_per_sample(p2, y2),
+                "dice": M.dice_score_per_sample(p2, y2, threshold=threshold),
+                "iou": M.iou_score_per_sample(p2, y2, threshold=threshold),
+                "bf1": M.boundary_f1_per_sample(p2, y2, threshold=threshold),
                 "pred_bin": pred_bin,
             }
 
@@ -56,10 +56,9 @@ def evaluate_model(
     ``dice_scores``, ``iou_scores``, ``boundary_f1_scores``,
     ``hausdorff_distances`` (NaN where a boundary is empty).
     """
-    del threshold  # fixed at 0.5 like every reference call site
     n = data.n
     idx, valid = epoch_batch_indices(n, batch_size, shuffle=False)
-    out = _eval_metrics_fn(apply_fn)(params, data.images, data.masks, idx)
+    out = _eval_metrics_fn(apply_fn, threshold)(params, data.images, data.masks, idx)
     keep = np.asarray(valid).reshape(-1) > 0
 
     flat = lambda a: np.asarray(a).reshape(-1)[keep]

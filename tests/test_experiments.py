@@ -224,3 +224,19 @@ def test_public_api_imports():
         "run_ablation_study", "evaluate_and_compare", "plot_training_results",
     ]:
         assert hasattr(pkg, name), name
+
+
+def test_threshold_changes_metrics(datasets, tmp_path):
+    """--threshold must actually flow into evaluation (reference parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from physics_informed_image_segmentation_tpu.models import UNet
+    from physics_informed_image_segmentation_tpu.train import evaluate_model
+
+    model = UNet(base_channels=8, dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+    lo = evaluate_model(model.apply, params, datasets["in_dist"], 4, threshold=0.05)
+    hi = evaluate_model(model.apply, params, datasets["in_dist"], 4, threshold=0.95)
+    # extreme thresholds give different binarizations -> different dice
+    assert not np.allclose(lo["dice_scores"], hi["dice_scores"])
