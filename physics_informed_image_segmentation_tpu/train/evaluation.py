@@ -90,13 +90,16 @@ def evaluate_on_dataset(
     batch_size: int = 8,
     model_name: str = "Model",
     verbose: bool = True,
+    threshold: float = 0.5,
 ) -> Dict[str, np.ndarray]:
     """Evaluate + print report (/root/reference/src/evaluate.py:476-523)."""
     if verbose:
         print(f"\nEvaluating {model_name} on test set...")
         print("=" * 70)
         print(f"Test samples: {data.n}")
-    metrics = evaluate_model(apply_fn, params, data, batch_size=batch_size)
+    metrics = evaluate_model(
+        apply_fn, params, data, batch_size=batch_size, threshold=threshold
+    )
     if verbose:
         print(format_metric_report(metrics, model_name=model_name))
     return metrics
