@@ -118,3 +118,34 @@ class TestCocoIntegration:
         # after NEAREST downscale to 128x128 the two agree almost everywhere
         agree = (pil_src.masks == nat_src.masks).mean()
         assert agree > 0.995
+
+
+class TestConcavePolygons:
+    def _star(self, cy, cx, r_out, r_in, k=5):
+        pts = []
+        for i in range(2 * k):
+            r = r_out if i % 2 == 0 else r_in
+            t = np.pi * i / k
+            pts += [cx + r * np.cos(t), cy + r * np.sin(t)]
+        return pts
+
+    def test_star_high_iou_with_pil(self):
+        anns = [{"segmentation": [self._star(32, 32, 24, 10)]}]
+        ours = rasterize_native(anns, (64, 64))
+        ref = _pil_mask(anns, 64, 64)
+        assert _iou(ours, ref) > 0.93  # concave: even-odd scanline agrees
+
+    def test_overlapping_polygons_union(self):
+        anns = [
+            {"segmentation": [_circle(20, 20, 10)]},
+            {"segmentation": [_circle(26, 26, 10)]},
+        ]
+        ours = rasterize_native(anns, (48, 48))
+        ref = _pil_mask(anns, 48, 48)
+        assert _iou(ours, ref) > 0.95
+
+    def test_multi_part_segmentation_single_annotation(self):
+        anns = [{"segmentation": [_circle(12, 12, 6), _circle(36, 36, 6)]}]
+        ours = rasterize_native(anns, (48, 48))
+        ref = _pil_mask(anns, 48, 48)
+        assert _iou(ours, ref) > 0.95

@@ -62,6 +62,22 @@ _SCRIPT = textwrap.dedent(
 
     gp = jax.jit(jax.grad(padded_total))(pp)
     assert np.isfinite(np.asarray(gp)).all()
+
+    # odd, non-tile-aligned shapes must lower too (Mosaic masking paths)
+    odd = jnp.asarray(rng.uniform(0.1, 0.9, (3, 96, 72)).astype(np.float32))
+    odd_t = jnp.asarray((rng.uniform(size=(3, 96, 72)) > 0.5).astype(np.float32))
+    c_odd = jax.jit(
+        lambda p: fused_loss_components(p, odd_t, diffusion_coeff=5.0)["pde_loss"]
+    )
+    v_odd = float(c_odd(odd))
+    v_ref_odd = float(
+        losses.dice_bce_pde_loss(odd, odd_t, pde_weight=1.0, phase_field_weight=0.0,
+                                 diffusion_coeff=5.0)
+        - losses.dice_bce_loss(odd, odd_t)
+    )
+    assert abs(v_odd - v_ref_odd) < 1e-4 * max(1.0, abs(v_ref_odd)), (v_odd, v_ref_odd)
+    g_odd = jax.jit(jax.grad(lambda p: c_odd(p)))(odd)
+    assert np.isfinite(np.asarray(g_odd)).all()
     v_pad = float(jax.jit(lambda v: jnp.sum(padded_physics_sums(v, 5.0, 0.5, 0.05, True)[:, 0]))(pp))
     v_ref = float(pde_ops.pde_residual_loss(pred, 5.0, 0.5)) * pred.size
     assert abs(v_pad - v_ref) / abs(v_ref) < 1e-5, (v_pad, v_ref)
