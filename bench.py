@@ -24,6 +24,12 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: repeated bench runs skip the ~2 min
+# remote compile of the epoch program (must be set before jax imports)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 A100_TORCH_IMAGES_PER_SEC_ESTIMATE = 500.0
 
 BATCH_SIZE = 8
