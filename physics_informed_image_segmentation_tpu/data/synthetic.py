@@ -68,6 +68,7 @@ def write_synthetic_coco(
     width: int = 112,
     seed: int = 0,
     missing_files: int = 0,
+    r_range: tuple[float, float] = (0.06, 0.15),
 ) -> tuple[Path, Path]:
     """Write a synthetic COCO dataset; returns (image_dir, annotation_json).
 
@@ -92,7 +93,10 @@ def write_synthetic_coco(
         for _ in range(k):
             cy = rng.uniform(0.2, 0.8) * height
             cx = rng.uniform(0.2, 0.8) * width
-            r = rng.uniform(6, 0.15 * min(height, width))
+            r = rng.uniform(
+                max(4.0, r_range[0] * min(height, width)),
+                r_range[1] * min(height, width),
+            )
             yy, xx = np.mgrid[0:height, 0:width]
             img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 200
             annotations.append(
