@@ -126,6 +126,7 @@ def halo_physics_loss_pallas(
     reaction_threshold: float = 0.5,
     epsilon: float = 0.05,
     use_reaction_term: bool = True,
+    batch_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Both physics losses on an H-sharded field with the FUSED Pallas
     kernel doing the local compute.
@@ -137,20 +138,25 @@ def halo_physics_loss_pallas(
     end — the kernel's custom VJP produces gradients w.r.t. the padded
     block and shard_map AD transposes the ppermute for the halo rows.
 
+    ``batch_axis``: when the field's batch dimension is ALSO sharded
+    (e.g. inside a data×space-parallel train step), name that mesh axis
+    so the reduction averages over the global batch.
+
     Returns ``(mean(r²), mean(phase_field))``.
     """
     from ..ops.pallas_physics import padded_physics_sums
 
-    spec = P(None, SPACE_AXIS, None)
+    spec = P(batch_axis, SPACE_AXIS, None)
+    reduce_axes = (SPACE_AXIS,) if batch_axis is None else (batch_axis, SPACE_AXIS)
 
     def local(u_local):
         p = halo_exchange_pad(u_local, SPACE_AXIS)
         sums = padded_physics_sums(
             p, diffusion_coeff, reaction_threshold, epsilon, use_reaction_term
         )
-        rd = jax.lax.psum(jnp.sum(sums[:, 0]), SPACE_AXIS)
-        pf = jax.lax.psum(jnp.sum(sums[:, 1]), SPACE_AXIS)
-        count = jax.lax.psum(jnp.asarray(u_local.size, jnp.float32), SPACE_AXIS)
+        rd = jax.lax.psum(jnp.sum(sums[:, 0]), reduce_axes)
+        pf = jax.lax.psum(jnp.sum(sums[:, 1]), reduce_axes)
+        count = jax.lax.psum(jnp.asarray(u_local.size, jnp.float32), reduce_axes)
         return rd / count, pf / count
 
     # check_vma=False: pallas_call outputs don't carry varying-mesh-axis

@@ -83,6 +83,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     *,
     spatial: bool = True,
+    halo_physics: bool = False,
 ):
     """Single jitted train step with explicit input shardings — the unit
     the driver's multichip dry-run exercises, and the building block for
@@ -90,10 +91,45 @@ def make_sharded_train_step(
 
     Returns ``step(state, x, y) -> (state, loss)`` with ``x``/``y``
     expected sharded as ``P('data'[, 'space'])``.
+
+    ``halo_physics=True`` (requires ``spatial``): the physics terms are
+    computed by the explicit shard_map pipeline — `ppermute` halo
+    exchange + fused Pallas padded-block kernel + psum
+    (:func:`..parallel.halo.halo_physics_loss_pallas`) — instead of
+    letting the SPMD partitioner slice the stencils.  Numerically
+    identical; this is the deterministic-communication path for
+    megapixel fields.
     """
     from ..train.objective import make_loss_and_components
 
-    loss_fn = make_loss_and_components(loss_cfg)
+    if halo_physics and not spatial:
+        raise ValueError("halo_physics requires spatial=True")
+    if halo_physics and loss_cfg.uses_physics:
+        from ..ops import losses as L
+        from .halo import halo_physics_loss_pallas
+
+        def loss_fn(pred, y, mask=None):
+            total = L.dice_bce_loss(
+                pred, y, loss_cfg.dice_weight, loss_cfg.bce_weight, loss_cfg.smooth
+            )
+            rd, pf = halo_physics_loss_pallas(
+                pred[..., 0],
+                mesh,
+                loss_cfg.diffusion_coeff,
+                loss_cfg.reaction_threshold,
+                loss_cfg.epsilon,
+                loss_cfg.use_reaction_term,
+                batch_axis=DATA_AXIS,
+            )
+            total = (
+                total
+                + loss_cfg.pde_weight * rd
+                + loss_cfg.phase_field_weight * pf
+            )
+            return total, {}
+    else:
+        loss_fn = make_loss_and_components(loss_cfg)
+
     constrain = _batch_constraint(mesh, spatial)
     repl = NamedSharding(mesh, P())
     batch_spec = P(DATA_AXIS, SPACE_AXIS) if spatial else P(DATA_AXIS)

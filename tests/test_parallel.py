@@ -170,3 +170,42 @@ class TestHaloPallas:
         g_s = np.asarray(jax.grad(sharded)(u))
         g_u = np.asarray(jax.grad(unsharded)(u))
         np.testing.assert_allclose(g_s, g_u, atol=1e-6)
+
+
+class TestHaloPhysicsTrainStep:
+    def test_halo_physics_step_matches_partitioned_step(self):
+        """data×space train step with explicit halo+Pallas physics gives
+        the same loss as the partitioner-sliced physics."""
+        from physics_informed_image_segmentation_tpu.parallel import (
+            batch_space_sharding,
+        )
+
+        mesh = make_mesh(data=4, space=2)
+        model = UNet(base_channels=4, dropout=0.0)
+        cfg = LossConfig(
+            pde_weight=1e-3, phase_field_weight=1e-4, diffusion_coeff=5.0,
+            backend="jax",
+        )
+        images, masks = make_blobs(8, 32, 32, seed=0)
+        x = jax.device_put(jnp.asarray(images), batch_space_sharding(mesh))
+        y = jax.device_put(jnp.asarray(masks), batch_space_sharding(mesh))
+
+        losses = {}
+        for halo in (False, True):
+            state = create_train_state(
+                model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1)
+            )
+            state = shard_train_state(state, mesh)
+            step = make_sharded_train_step(
+                model, cfg, mesh, spatial=True, halo_physics=halo
+            )
+            state, loss = step(state, x, y)
+            losses[halo] = float(loss)
+        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+    def test_halo_physics_requires_spatial(self):
+        mesh = make_mesh(data=8, space=1)
+        model = UNet(base_channels=4)
+        cfg = LossConfig(pde_weight=1e-3, diffusion_coeff=5.0, backend="jax")
+        with pytest.raises(ValueError):
+            make_sharded_train_step(model, cfg, mesh, spatial=False, halo_physics=True)
