@@ -125,3 +125,38 @@ class TestPlots:
         assert (out / "combined_loss_stage1_stage2.png").exists()
         assert (out / f"{p1.stem}_curves.png").exists()
         assert (out / f"{p2.stem}_all_metrics.png").exists()
+
+
+class TestProfiling:
+    def test_trace_context_produces_xplane(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from physics_informed_image_segmentation_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path / "tr")):
+            x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+            float(x.sum())
+        files = list((tmp_path / "tr").rglob("*.xplane.pb"))
+        assert files, "no xplane produced"
+
+    def test_step_timer_and_meter(self):
+        import jax.numpy as jnp
+
+        from physics_informed_image_segmentation_tpu.utils.profiling import (
+            StepTimer,
+            ThroughputMeter,
+        )
+
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t.step():
+                v = jnp.ones((8, 8)) * 3
+                t.sync(v)
+        assert len(t.times) == 3
+        assert t.mean_ms >= 0 and t.p99_ms >= t.p50_ms >= 0
+        m = ThroughputMeter(n_devices=1)
+        m.start()
+        m.add(50)
+        rep = m.report()
+        assert rep["images"] == 50 and rep["images_per_sec"] > 0
