@@ -100,3 +100,48 @@ def test_predict_cli(tmp_path, checkpoint):
     assert r.returncode == 0, r.stdout + r.stderr
     outs = list((tmp_path / "out").glob("*_mask.png"))
     assert len(outs) == 3
+
+
+class TestTTA:
+    def test_tta_prediction_shape_and_symmetry(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(2, 64, 64, seed=5)
+        probs = p.predict(images, tta=True)
+        assert probs.shape == (2, 64, 64, 1)
+        assert (probs > 0).all() and (probs < 1).all()
+        # TTA of a rotated input equals rotated TTA output (equivariance)
+        rot = np.ascontiguousarray(np.rot90(images, 1, axes=(1, 2)))
+        probs_rot = p.predict(rot, tta=True)
+        np.testing.assert_allclose(
+            probs_rot, np.rot90(probs, 1, axes=(1, 2)), atol=1e-5
+        )
+
+    def test_tta_requires_square(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=2, image_size=(64, 64), precision="f32")
+        with pytest.raises(ValueError):
+            p.predict(np.zeros((1, 32, 64, 1), np.float32), tta=True)
+
+
+class TestTiledInference:
+    def test_large_image_blended(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        big, _ = make_blobs(1, 160, 224, seed=6)
+        probs = p.predict_tiled(big[0], tile=64, overlap=16)
+        assert probs.shape == (160, 224, 1)
+        assert np.isfinite(probs).all()
+        assert (probs > 0).all() and (probs < 1).all()
+
+    def test_small_image_passthrough_equivalent(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        img, _ = make_blobs(1, 64, 64, seed=7)
+        tiled = p.predict_tiled(img[0], tile=64, overlap=16)
+        direct = p.predict(img)[0]
+        np.testing.assert_allclose(tiled, direct, atol=1e-6)
+
+    def test_threshold_and_overlap_validation(self, checkpoint):
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        img, _ = make_blobs(1, 96, 96, seed=8)
+        mask = p.predict_tiled(img[0], tile=64, overlap=16, threshold=0.5)
+        assert set(np.unique(mask)) <= {0.0, 1.0}
+        with pytest.raises(ValueError):
+            p.predict_tiled(img[0], tile=64, overlap=64)
