@@ -15,8 +15,6 @@ path.
 
 from __future__ import annotations
 
-
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -31,8 +31,6 @@ Metric semantics preserved from the reference (important quirks):
 
 from __future__ import annotations
 
-
-
 from typing import Any, Callable, Optional
 
 import jax
@@ -381,8 +379,6 @@ def train_stage(
     from ..data.pipeline import epoch_batch_indices
     from .checkpoint import save_train_state
     from .csvlog import save_metrics_to_csv
-
-    import time as _time
 
     best_val_dice = 0.0
     best_epoch = 0
