@@ -15,6 +15,13 @@ submodules (`ops`, `models`, `data`, `train`, `parallel`, `experiments`,
 """
 
 from . import data, experiments, models, ops, parallel, train, utils  # noqa: F401
+from .compat import (  # noqa: F401
+    DiceBCELoss,
+    DiceBCEPDELoss,
+    PDERegularization,
+    create_pde_regularization,
+    evaluate_on_test_set,
+)
 
 # --- reference public-API parity (functional equivalents) ---
 from .data import CocoSegmentationSource as CellSegmentationDataset  # noqa: F401
@@ -118,14 +125,15 @@ __all__ = [
 
 # --- drop-in aliases matching the reference's exact function names
 # (/root/reference/src/__init__.py:35-67) for users migrating code.
-# The reference's PDERegularization module object maps to the functional
-# ops in `ops.pde` + `LossConfig`; boundary F1's single-sample form maps
-# to the batched on-device implementation. ---
+# Together with the `compat` classes above, ALL 31 reference exports are
+# importable from this package under their reference names
+# (tests/test_compat.py pins this list). ---
+from .compat import compute_boundary_f1  # noqa: F401  (single-sample [0,0] form)
+
 compute_dice_score = dice_score
 compute_dice_score_batch = dice_score_per_sample
 compute_iou = iou_score
 compute_iou_batch = iou_score_per_sample
-compute_boundary_f1 = boundary_f1_per_sample
 compute_boundary_f1_batch = boundary_f1_per_sample
 compute_hausdorff_distance = hausdorff_distance_np
 __all__ += [
@@ -136,4 +144,10 @@ __all__ += [
     "compute_boundary_f1",
     "compute_boundary_f1_batch",
     "compute_hausdorff_distance",
+    # compat classes (reference drop-in names)
+    "DiceBCELoss",
+    "DiceBCEPDELoss",
+    "PDERegularization",
+    "create_pde_regularization",
+    "evaluate_on_test_set",
 ]
