@@ -69,12 +69,22 @@ def write_synthetic_coco(
     seed: int = 0,
     missing_files: int = 0,
     r_range: tuple[float, float] = (0.06, 0.15),
+    *,
+    cells_range: tuple[int, int] = (1, 3),
+    fg_range: tuple[float, float] = (200.0, 200.0),
+    blur_sigma: float = 0.0,
 ) -> tuple[Path, Path]:
     """Write a synthetic COCO dataset; returns (image_dir, annotation_json).
 
     ``missing_files`` extra images are referenced in the JSON but not
     written to disk, to exercise the skip-and-warn path
     (/root/reference/src/dataset.py:37-55).
+
+    The keyword-only knobs harden the task for realistic-scale training
+    runs (PARITY_RUN.md): ``cells_range`` cells per image (inclusive),
+    per-cell foreground intensity drawn from ``fg_range``, and an
+    optional Gaussian blur softening cell edges.  Defaults reproduce the
+    original fixture output bit-for-bit (same RNG call sequence).
     """
     root = Path(root)
     image_dir = root / "images"
@@ -88,7 +98,7 @@ def write_synthetic_coco(
         images_meta.append(
             {"id": i + 1, "file_name": fname, "height": height, "width": width}
         )
-        k = int(rng.integers(1, 4))
+        k = int(rng.integers(cells_range[0], cells_range[1] + 1))
         img = rng.normal(80, 20, size=(height, width)).clip(0, 255)
         for _ in range(k):
             cy = rng.uniform(0.2, 0.8) * height
@@ -97,8 +107,13 @@ def write_synthetic_coco(
                 max(4.0, r_range[0] * min(height, width)),
                 r_range[1] * min(height, width),
             )
+            fg = (
+                fg_range[0]
+                if fg_range[0] == fg_range[1]
+                else float(rng.uniform(*fg_range))
+            )
             yy, xx = np.mgrid[0:height, 0:width]
-            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 200
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = fg
             annotations.append(
                 {
                     "id": ann_id,
@@ -107,6 +122,10 @@ def write_synthetic_coco(
                 }
             )
             ann_id += 1
+        if blur_sigma > 0:
+            from scipy.ndimage import gaussian_filter
+
+            img = gaussian_filter(img, sigma=blur_sigma)
         if i < n:  # the rest are deliberately missing from disk
             Image.fromarray(img.astype(np.uint8)).save(image_dir / fname)
 
