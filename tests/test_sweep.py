@@ -183,3 +183,150 @@ class TestMultiSeed:
         b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p: p[1], out["params"]))
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestSerialBatchedFaithfulness:
+    """VERDICT r1 item 5: a genuine serial per-member loop with host-side
+    EarlyStopping (break-out, like the reference's run_ablation loop,
+    /root/reference/run_ablation.py:120-224) must produce the SAME final
+    weights, stop epochs and metric histories as the single vmapped
+    launch with masked updates — including when members stop at
+    different epochs."""
+
+    @staticmethod
+    def _serial_member(model, init_params, sc, tr, va, *, num_epochs,
+                       batch_size, learning_rate, patience, min_delta, seed):
+        """Reference-style serial training of ONE member: Python epoch
+        loop, real EarlyStopping object, loop break on stop."""
+        import optax
+
+        from physics_informed_image_segmentation_tpu.data import (
+            epoch_batch_indices,
+        )
+        from physics_informed_image_segmentation_tpu.experiments.sweep import (
+            _member_loss,
+        )
+        from physics_informed_image_segmentation_tpu.ops import metrics as M
+        from physics_informed_image_segmentation_tpu.train.engine import (
+            EarlyStopping,
+        )
+
+        tx = optax.adamw(learning_rate=learning_rate, weight_decay=1e-5)
+        params = init_params
+        opt_state = tx.init(params)
+        dkey = jax.random.key(seed)
+        shuffle_key = jax.random.key(seed + 1)
+        sc = {k: jnp.asarray(v) for k, v in sc.items()}
+        val_idx, val_valid = epoch_batch_indices(va.n, batch_size, shuffle=False)
+
+        @jax.jit
+        def train_epoch(params, opt_state, step, idx, valid):
+            def body(carry, batch):
+                params, opt_state, step = carry
+                idx_b, valid_b = batch
+                x, y = tr.images[idx_b], tr.masks[idx_b]
+                mask = valid_b.reshape((-1,) + (1,) * (x.ndim - 1))
+                key = jax.random.fold_in(dkey, step)
+
+                def loss_of(p):
+                    pred = model.apply(
+                        p, x, deterministic=False, rngs={"dropout": key}
+                    )
+                    total, _ = _member_loss(pred, y, mask, sc)
+                    return total
+
+                grads = jax.grad(loss_of)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state, step + 1), None
+
+            (params, opt_state, step), _ = jax.lax.scan(
+                body, (params, opt_state, step), (idx, valid)
+            )
+            return params, opt_state, step
+
+        @jax.jit
+        def val_dice(params):
+            def body(_, batch):
+                idx_b, valid_b = batch
+                x, y = va.images[idx_b], va.masks[idx_b]
+                pred = model.apply(params, x, deterministic=True)
+                m2 = valid_b.reshape((-1, 1, 1))
+                return None, M.dice_score(pred[..., 0], y[..., 0], mask=m2)
+
+            _, dices = jax.lax.scan(body, None, (val_idx, val_valid))
+            return jnp.mean(dices)
+
+        es = EarlyStopping(patience, min_delta, "max")
+        step = jnp.zeros((), jnp.int32)
+        history, stop_epoch = [], num_epochs
+        for e in range(num_epochs):
+            idx, valid = epoch_batch_indices(
+                tr.n, batch_size, shuffle=True,
+                key=jax.random.fold_in(shuffle_key, e),
+            )
+            params, opt_state, step = train_epoch(params, opt_state, step, idx, valid)
+            score = float(val_dice(params))
+            history.append(score)
+            if es(score, e + 1):
+                stop_epoch = e + 1
+                break
+        return params, stop_epoch, history
+
+    def test_divergent_early_stopping_matches_serial(self):
+        # Large blobs so the tiny net learns within a few epochs and the
+        # members' val-dice trajectories can actually diverge.
+        tr = DeviceDataset.from_numpy(
+            *make_blobs(16, 32, 32, seed=0, r_range=(0.25, 0.42))
+        )
+        va = DeviceDataset.from_numpy(
+            *make_blobs(8, 32, 32, seed=1, r_range=(0.25, 0.42))
+        )
+        model = UNet(base_channels=4, dropout=0.1)  # exercise the PRNG stream too
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        num_epochs, bs, lr, patience, min_delta, seed = 10, 4, 2e-3, 1, 1e-4, 42
+
+        # member 0: normal physics weights; member 1: absurd pde_weight
+        # that wrecks val dice -> early divergent stopping.
+        sc_grid = {
+            "pde_weight": np.array([1e-4, 100.0], np.float32),
+            "phase_field_weight": np.array([1e-4, 1e-4], np.float32),
+            "diffusion_coeff": np.array([5.0, 5.0], np.float32),
+            "reaction_threshold": np.array([0.5, 0.5], np.float32),
+            "epsilon": np.array([0.05, 0.05], np.float32),
+        }
+        batched = run_batched_sweep(
+            model, params, sc_grid, tr, va,
+            num_epochs=num_epochs, batch_size=bs, learning_rate=lr,
+            early_stopping_patience=patience, min_delta=min_delta, seed=seed,
+        )
+
+        serial = [
+            self._serial_member(
+                model, params,
+                {k: v[m] for k, v in sc_grid.items()}, tr, va,
+                num_epochs=num_epochs, batch_size=bs, learning_rate=lr,
+                patience=patience, min_delta=min_delta, seed=seed,
+            )
+            for m in range(2)
+        ]
+
+        stop_epochs = [s[1] for s in serial]
+        assert list(batched["stop_epoch"]) == stop_epochs
+        # the two members must genuinely stop at different epochs for
+        # this test to mean anything
+        assert stop_epochs[0] != stop_epochs[1], stop_epochs
+
+        for m in range(2):
+            s_params, s_stop, s_hist = serial[m]
+            b_hist = batched["history"]["val_dice_score"][: s_stop, m]
+            np.testing.assert_allclose(
+                np.asarray(b_hist), np.asarray(s_hist), rtol=0, atol=1e-5
+            )
+            b_leaves = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda p: p[m], batched["params"])
+            )
+            s_leaves = jax.tree_util.tree_leaves(s_params)
+            for b_leaf, s_leaf in zip(b_leaves, s_leaves):
+                np.testing.assert_allclose(
+                    np.asarray(b_leaf), np.asarray(s_leaf), rtol=0, atol=2e-5
+                )
