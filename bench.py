@@ -1,27 +1,39 @@
 """Headline benchmark: train images/sec/chip (U-Net + full PDE loss, batch 8).
 
-Measures the steady-state throughput of the REAL training epoch program
-(flagship 20.5M-param U-Net, bf16 compute, fused Pallas physics loss,
-on-device Dice/IoU/Boundary-F1 metrics — i.e. everything the
-reference's training loop does per batch, /root/reference/src/train.py:84-185)
-on synthetic 128×128 data resident in HBM.
+Measures the steady-state throughput of the REAL training program
+(flagship 20.5M-param U-Net, bf16 compute, fused physics loss,
+on-device Dice/IoU/Boundary-F1 metrics — everything the reference's
+training loop does per batch, /root/reference/src/train.py:84-185)
+on synthetic 128×128 data resident in HBM.  Uses the multi-epoch
+program (``make_train_epochs_fn``): all timed epochs run as ONE
+dispatch, as a fixed-budget training stage does — per-epoch dispatch
+overhead is real on any host but pathological (~200 ms RTT) on the
+tunnelled TPU this runs under.
 
-Prints ONE JSON line:
-  {"metric": "train_images_per_sec_per_chip", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": R}
+Prints ONE JSON line.  Keys, so the ≥5×-A100 target is adjudicable
+end-to-end (VERDICT r1 item 2):
 
-vs_baseline: ratio against an A100 PyTorch estimate for the same model/
-batch (the reference publishes no numbers and no A100 is available
-here — see BASELINE.md).  Estimate: ~570 GFLOP per optimizer step at
-batch 8; A100 TF32 convs at a generous 35% utilisation ≈ 16 ms/step
-≈ 500 images/sec, EXCLUDING the reference's per-batch host syncs and
-cv2 metric work (which would lower it several-fold).  We compare
-against the favourable compute-only figure.
+  value                     measured images/sec/chip on this hardware
+  vs_baseline               value / modelled A100-PyTorch images/sec —
+                            the A100 figure is an ESTIMATE (no A100
+                            here, the reference publishes no numbers):
+                            ~570 GFLOP/step at 35% TF32 utilisation
+                            ≈ 16 ms/step ≈ 500 img/s, favourably
+                            EXCLUDING the reference's per-batch host
+                            syncs + cv2 metric work.
+  vs_reference_cpu_measured value / 1.5 img/s — the only *measured*
+                            reference number (same-host CPU torch,
+                            1 thread; BASELINE.md "Measured numbers").
+  step_time_ms              per-optimizer-step device+dispatch time
+  flops_per_step            analytic conv FLOPs x3 (fwd + input-grad +
+                            weight-grad); XLA cost_analysis undercounts
+                            while-loop bodies so it is not used
+  mfu                       flops_per_step / step_time / peak_flops
+                            (peak from device_kind table below)
 """
 
 import json
 import os
-import sys
 import time
 
 # persistent XLA compile cache: repeated bench runs skip the ~2 min
@@ -31,12 +43,59 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 A100_TORCH_IMAGES_PER_SEC_ESTIMATE = 500.0
+A100_ASSUMPTION = (
+    "A100 figure is modelled, not measured: 570 GFLOP/step @ 35% TF32 "
+    "utilisation ~= 16 ms/step ~= 500 img/s at bs=8, excluding the "
+    "reference's per-batch host syncs and cv2 metrics"
+)
+REFERENCE_CPU_IMAGES_PER_SEC_MEASURED = 1.5  # BASELINE.md, same host, 1 thread
+
+# bf16 peak FLOP/s by device kind (public specs)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 BATCH_SIZE = 8
 IMAGE_SIZE = 128
 N_IMAGES = 512
 WARMUP_EPOCHS = 2
 TIMED_EPOCHS = 5
+
+
+def analytic_flops_per_step(b=BATCH_SIZE, s=IMAGE_SIZE, c=64) -> float:
+    """Training-step FLOPs of the U-Net: conv MACs x2, x3 for training
+    (forward + input-grad + weight-grad conv each ~equal cost)."""
+    # (cin, cout, spatial) for every 3x3 conv in the reference topology
+    convs = []
+    plan = [(1, c), (c, c)], [(c, 2 * c), (2 * c, 2 * c)], \
+        [(2 * c, 4 * c), (4 * c, 4 * c)], [(4 * c, 8 * c), (8 * c, 8 * c)]
+    sp = s
+    for level in plan:
+        for cin, cout in level:
+            convs.append((cin, cout, sp, 9))
+        sp //= 2
+    convs += [(8 * c, 8 * c, sp, 9), (8 * c, 8 * c, sp, 9)]  # bottleneck @ s/16
+    dec_plan = [
+        (8 * c, 8 * c, s // 8), (16 * c, 8 * c, s // 8),   # up4 + dec4 conv1
+        (8 * c, 8 * c, s // 8),
+        (8 * c, 4 * c, s // 4), (8 * c, 4 * c, s // 4), (4 * c, 4 * c, s // 4),
+        (4 * c, 2 * c, s // 2), (4 * c, 2 * c, s // 2), (2 * c, 2 * c, s // 2),
+        (2 * c, c, s), (2 * c, c, s), (c, c, s),
+    ]
+    # upsample k2s2: each output pixel gets one cin x cout matmul (tap 1
+    # at output resolution); decoder convs = 9 taps
+    taps = [1, 9, 9] * 4
+    for (cin, cout, spx), k in zip(dec_plan, taps):
+        convs.append((cin, cout, spx, k))
+    convs.append((c, 1, s, 1))  # 1x1 output conv
+    fwd = sum(2.0 * b * spx * spx * cin * cout * k for cin, cout, spx, k in convs)
+    return 3.0 * fwd
 
 
 def main() -> None:
@@ -52,7 +111,7 @@ def main() -> None:
     from physics_informed_image_segmentation_tpu.train import (
         LossConfig,
         create_train_state,
-        make_train_epoch_fn,
+        make_train_epochs_fn,
     )
 
     images, masks = make_blobs(N_IMAGES, IMAGE_SIZE, IMAGE_SIZE, seed=0)
@@ -68,28 +127,43 @@ def main() -> None:
         reaction_threshold=0.5,
         epsilon=0.05,
     )
-    epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=True)
+    epochs_fn = make_train_epochs_fn(model, cfg, compute_metrics=True)
     state = create_train_state(
         model, jax.random.key(0), 1e-4, input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1)
     )
-    idx, valid = epoch_batch_indices(
-        data.n, BATCH_SIZE, shuffle=True, key=jax.random.key(1)
-    )
+    plans = [
+        epoch_batch_indices(data.n, BATCH_SIZE, shuffle=True, key=jax.random.key(e))
+        for e in range(TIMED_EPOCHS)
+    ]
+    idx = jnp.stack([p[0] for p in plans])
+    valid = jnp.stack([p[1] for p in plans])
+    steps_per_epoch = idx.shape[1]
+
+    flops_per_step = analytic_flops_per_step()
 
     # NOTE: a scalar fetch (float(...)) is the sync point — on the axon
     # tunnel, block_until_ready alone does not wait for execution.
     for _ in range(WARMUP_EPOCHS):
-        state, r = epoch_fn(state, data.images, data.masks, idx, valid)
-        loss = float(r["loss"])
+        state, r = epochs_fn(state, data.images, data.masks, idx, valid)
+        loss = float(r["loss"][-1])
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_EPOCHS):
-        state, r = epoch_fn(state, data.images, data.masks, idx, valid)
-        loss = float(r["loss"])
+    state, r = epochs_fn(state, data.images, data.masks, idx, valid)
+    loss = float(r["loss"][-1])
     dt = (time.perf_counter() - t0) / TIMED_EPOCHS
 
     n_devices = jax.device_count()
     images_per_sec_per_chip = data.n / dt / n_devices
+    step_time = dt / steps_per_epoch
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    mfu = (
+        round(flops_per_step / step_time / peak, 4)
+        if (flops_per_step and peak)
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -99,6 +173,15 @@ def main() -> None:
                 "vs_baseline": round(
                     images_per_sec_per_chip / A100_TORCH_IMAGES_PER_SEC_ESTIMATE, 2
                 ),
+                "vs_reference_cpu_measured": round(
+                    images_per_sec_per_chip / REFERENCE_CPU_IMAGES_PER_SEC_MEASURED, 1
+                ),
+                "step_time_ms": round(step_time * 1e3, 3),
+                "flops_per_step": flops_per_step,
+                "device_kind": kind,
+                "peak_flops_assumed": peak,
+                "mfu": mfu,
+                "a100_assumption": A100_ASSUMPTION,
             }
         )
     )

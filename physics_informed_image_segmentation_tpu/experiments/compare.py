@@ -57,7 +57,12 @@ def make_json_serializable(obj: Any) -> Any:
     return str(obj)
 
 
-def load_unet_params(model_path, model: Optional[UNet] = None, base_channels: int = 64):
+def load_unet_params(
+    model_path,
+    model: Optional[UNet] = None,
+    base_channels: int = 64,
+    dtype: str = "bf16",
+):
     """(model, params) from a msgpack artifact
     (/root/reference/src/evaluate_comparison.py:61-76)."""
     import jax.numpy as jnp
@@ -65,7 +70,7 @@ def load_unet_params(model_path, model: Optional[UNet] = None, base_channels: in
     if model is None:
         model = UNet(
             in_channels=1, out_channels=1, base_channels=base_channels,
-            dtype=jnp.bfloat16,
+            dtype=jnp.float32 if dtype in ("f32", "float32") else jnp.bfloat16,
         )
     template = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1), jnp.float32))
     return model, load_params(model_path, template)
@@ -103,9 +108,13 @@ def evaluate_and_compare(
     output_dir=None,
     test_data: Optional[DeviceDataset] = None,
     base_channels: int = 64,
+    dtype: str = "bf16",
 ) -> Dict:
     """Evaluate both checkpoints + statistical comparison + artifacts
-    (/root/reference/src/evaluate_comparison.py:79-227)."""
+    (/root/reference/src/evaluate_comparison.py:79-227).
+
+    ``dtype``: compute dtype for evaluation ("bf16" default; pass "f32"
+    for exact-precision comparisons against the f32 reference)."""
     output_dir = Path(output_dir) if output_dir is not None else Path.cwd() / "output"
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -114,7 +123,7 @@ def evaluate_and_compare(
     print("=" * 70)
     print("\nLoading models...")
     model, baseline_params = load_unet_params(
-        baseline_model_path, base_channels=base_channels
+        baseline_model_path, base_channels=base_channels, dtype=dtype
     )
     _, pde_params = load_unet_params(pde_model_path, model)
 

@@ -125,12 +125,14 @@ class FastUpsample(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         # lax.conv_transpose applies the kernel spatially flipped
         k = kernel[::-1, ::-1].astype(self.dtype)
+        # output spec "bhiwjf" puts the depth-to-space interleave directly
+        # in the einsum's output layout — no separate transpose copy
         y = jnp.einsum(
-            "bhwc,ijcf->bhwijf", x.astype(self.dtype), k,
+            "bhwc,ijcf->bhiwjf", x.astype(self.dtype), k,
             preferred_element_type=self.dtype,
         )
-        b_, h, w, _, _, f = y.shape
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h * 2, w * 2, f)
+        b_, h, _, w, _, f = y.shape
+        y = y.reshape(b_, h * 2, w * 2, f)
         return y + bias.astype(self.dtype)
 
 
@@ -160,6 +162,10 @@ class UNet(nn.Module):
     # ConvTranspose(k=2, s=2) with the same parameter structure, ~2×
     # faster on TPU (see FastUpsample).
     fast_upsample: bool = True
+    # "fused": reshape-max pool with hand-written first-match backward
+    # (bit-compatible with select-and-scatter/torch incl. ties, ~0.4 ms
+    # per step faster — see ops/pool.py); "xla": flax nn.max_pool.
+    pool: str = "fused"
 
     def setup(self):
         if self.output_activation.lower() not in ("sigmoid", "tanh"):
@@ -202,7 +208,10 @@ class UNet(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         """(B, H, W, C_in) → probability map (B, H, W, out_channels) in (0, 1)."""
         x = x.astype(self.dtype)
-        pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))
+        if self.pool == "fused":
+            from ..ops.pool import max_pool_2x2 as pool
+        else:
+            pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))
 
         e1 = self.enc1(x, deterministic)
         e2 = self.enc2(pool(e1), deterministic)

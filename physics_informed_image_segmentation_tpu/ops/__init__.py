@@ -1,8 +1,8 @@
 """Differentiable ops: PDE stencils, losses, metrics, fused Pallas kernels."""
 
-from . import losses, metrics, pde, stats  # noqa: F401
+from . import losses, metrics, pde, pool, stats  # noqa: F401
 
-__all__ = ["pde", "losses", "metrics", "stats", "pallas_physics"]
+__all__ = ["pde", "losses", "metrics", "pool", "stats", "pallas_physics"]
 
 
 def __getattr__(name):

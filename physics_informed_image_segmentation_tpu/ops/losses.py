@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from . import pde
@@ -69,6 +70,48 @@ def soft_dice_loss(
     return 1.0 - dice
 
 
+# torch binary_cross_entropy_backward clamps the denominator p(1-p) at
+# 1e-12 so saturated probabilities (p == 0.0 or 1.0 in f32 — routine once
+# the model is confident: sigmoid(x) == 1.0f for x > ~16.6) give a large
+# but FINITE gradient.  Naive autodiff through the clipped logs yields
+# 0 * inf = NaN at exactly those pixels, which detonates training the
+# moment it converges (observed: NaN at epoch 6 of the parity run).
+_BCE_GRAD_EPS = 1e-12
+
+
+def _bce_value(predictions, targets, mask):
+    log_p = jnp.clip(jnp.log(predictions), _LOG_CLAMP)
+    log_1p = jnp.clip(jnp.log1p(-predictions), _LOG_CLAMP)
+    elem = -(targets * log_p + (1.0 - targets) * log_1p)
+    elem = _masked(elem, mask)
+    return jnp.sum(elem) / _mask_count(predictions, mask)
+
+
+@jax.custom_vjp
+def _bce(predictions, targets, mask):
+    return _bce_value(predictions, targets, mask)
+
+
+def _bce_fwd(predictions, targets, mask):
+    return _bce_value(predictions, targets, mask), (predictions, targets, mask)
+
+
+def _bce_bwd(res, g):
+    p, t, mask = res
+    scale = g / _mask_count(p, mask)
+    # exact torch semantics: (p - t) / clamp_min(p * (1 - p), 1e-12)
+    dp = (p - t) / jnp.maximum(p * (1.0 - p), _BCE_GRAD_EPS)
+    dp = _masked(dp, mask) * scale
+    log_p = jnp.clip(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.clip(jnp.log1p(-p), _LOG_CLAMP)
+    dt = _masked(log_1p - log_p, mask) * scale
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dp, dt, dmask
+
+
+_bce.defvjp(_bce_fwd, _bce_bwd)
+
+
 def bce_loss(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
@@ -77,13 +120,12 @@ def bce_loss(
     """Binary cross-entropy on probabilities, mean reduction.
 
     Matches ``torch.nn.BCELoss()`` (/root/reference/src/loss.py:34,63)
-    including its log-clamp at -100.
+    in BOTH directions: the forward's log-clamp at -100 AND the
+    backward's ``(p-t)/clamp_min(p(1-p), 1e-12)`` (aten
+    ``binary_cross_entropy_backward``), which keeps gradients finite on
+    saturated pixels where naive autodiff produces NaN.
     """
-    log_p = jnp.clip(jnp.log(predictions), _LOG_CLAMP)
-    log_1p = jnp.clip(jnp.log1p(-predictions), _LOG_CLAMP)
-    elem = -(targets * log_p + (1.0 - targets) * log_1p)
-    elem = _masked(elem, mask)
-    return jnp.sum(elem) / _mask_count(predictions, mask)
+    return _bce(predictions, targets, mask)
 
 
 def dice_bce_loss(

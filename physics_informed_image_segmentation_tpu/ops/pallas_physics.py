@@ -200,13 +200,11 @@ def _bwd_kernel(D, a, eps, use_reaction, u_ref, t_ref, m_ref, cot_ref, du_ref, d
     du = c_inter * t + c_su
     dt = c_inter * u + c_st
 
-    # BCE: grad is zero where the log was clamped (matches jnp.clip autodiff)
+    # BCE: torch binary_cross_entropy_backward semantics — the clamped
+    # denominator keeps saturated pixels (u in {0, 1}) large but finite,
+    # matching ops.losses._bce_bwd exactly.
     log_p, log_1p = _clamped_logs(u)
-    p_ok = log_p > _LOG_CLAMP
-    q_ok = log_1p > _LOG_CLAMP
-    t_term = jnp.where(p_ok, t / jnp.where(p_ok, u, 1.0), 0.0)
-    q_term = jnp.where(q_ok, (1.0 - t) / jnp.where(q_ok, 1.0 - u, 1.0), 0.0)
-    du = du + c_bce * (q_term - t_term)
+    du = du + c_bce * (u - t) / jnp.maximum(u * (1.0 - u), 1e-12)
     dt = dt + c_bce * (log_1p - log_p)
 
     # reaction–diffusion: d/du Σ r² = 2 (D·Lᵀ r + f'(u)·r)

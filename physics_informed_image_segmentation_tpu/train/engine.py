@@ -44,7 +44,9 @@ from .objective import LossConfig, make_loss_and_components
 __all__ = [
     "TrainState",
     "create_train_state",
+    "tree_params",
     "make_train_epoch_fn",
+    "make_train_epochs_fn",
     "make_eval_epoch_fn",
     "EarlyStopping",
     "train_stage",
@@ -52,7 +54,14 @@ __all__ = [
 
 
 class TrainState(struct.PyTreeNode):
-    """Params + optimizer state + step counter + dropout PRNG."""
+    """Params + optimizer state + step counter + dropout PRNG.
+
+    ``params`` is either the usual pytree, or — when built with
+    ``create_train_state(flat=True)`` — ONE flat f32 vector with
+    ``unravel`` mapping it back to the tree (bit-identical numerics;
+    measured slower on TPU than tree storage because the unravel forces
+    conv-kernel relayout copies — see scripts/ab_bench.py).
+    """
 
     step: jax.Array
     params: Any
@@ -60,6 +69,7 @@ class TrainState(struct.PyTreeNode):
     dropout_key: jax.Array
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    unravel: Optional[Callable] = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -70,6 +80,13 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def tree_params(state: TrainState):
+    """``state.params`` as a pytree, whatever the storage mode."""
+    if state.unravel is not None:
+        return state.unravel(state.params)
+    return state.params
+
+
 def create_train_state(
     model,
     rng: jax.Array,
@@ -77,21 +94,52 @@ def create_train_state(
     weight_decay: float = 1e-5,
     input_shape: tuple = (1, 128, 128, 1),
     params=None,
+    flat: bool = False,
+    optimizer: str = "adamw",
 ) -> TrainState:
     """Init params (unless given) and a fresh AdamW, mirroring the
     reference's per-stage `optim.AdamW(lr, weight_decay=1e-5)`
-    (/root/reference/src/train.py:658-662,722-726)."""
+    (/root/reference/src/train.py:658-662,722-726).
+
+    ``optimizer``: "adamw" (default, per-leaf ``optax.adamw``) or
+    "flat_adamw" (flat m/v storage, bit-identical trajectories; measured
+    SLOWER on TPU — the grad ravel / update unravel pay tiled<->linear
+    relayout copies that exceed the 45-fusion overhead they remove,
+    scripts/ab_bench.py round 2: 1176 vs 1370 img/s).
+
+    ``flat=True`` additionally stores params as one flat f32 vector with
+    ``apply_fn`` unravelling on the fly.  Measured SLOWER on TPU (the
+    unravel forces conv-kernel relayout copies, ~1 ms/step,
+    scripts/ab_bench.py) — kept for experimentation, not the default.
+    Use :func:`tree_params` to get the pytree back for
+    eval/checkpointing.
+    """
     params_key, dropout_key = jax.random.split(rng)
     if params is None:
         params = model.init(params_key, jnp.zeros(input_shape, jnp.float32))
-    tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    if optimizer == "flat_adamw":
+        from .optim import flat_adamw
+
+        tx = flat_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    else:
+        tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    apply_fn, unravel = model.apply, None
+    if flat:
+        from jax.flatten_util import ravel_pytree
+
+        params, unravel = ravel_pytree(params)
+
+        def apply_fn(p, *args, _unravel=unravel, _apply=model.apply, **kwargs):
+            return _apply(_unravel(p), *args, **kwargs)
+
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         dropout_key=dropout_key,
-        apply_fn=model.apply,
+        apply_fn=apply_fn,
         tx=tx,
+        unravel=unravel,
     )
 
 
@@ -115,7 +163,7 @@ def _sample_mask(valid, pred_ndim):
     return valid.reshape(shape)
 
 
-def make_train_epoch_fn(
+def _make_epoch_fns(
     model,
     loss_cfg: LossConfig,
     *,
@@ -124,22 +172,8 @@ def make_train_epoch_fn(
     constrain_batch=None,
     augment=None,
 ):
-    """Build the jitted one-epoch training program.
-
-    Signature of the result:
-      ``epoch_fn(state, images, masks, idx, valid) -> (state, metrics)``
-    where ``idx``/``valid`` come from
-    :func:`..data.pipeline.epoch_batch_indices` (shape ``(nb, B)``).
-
-    ``pmean_axis``: when run under shard_map over a data-parallel mesh
-    axis, gradients and metric sums are psum-averaged across it.
-    ``constrain_batch``: optional fn applied to each gathered batch
-    array — used by :mod:`..parallel.sharding` to attach
-    `with_sharding_constraint` so the SPMD partitioner shards the
-    compute (grads then all-reduce automatically).
-    ``augment``: optional ``f(key, images, masks) -> (images, masks)``
-    applied on-device per batch (see :mod:`..data.augment`).
-    """
+    """(jitted epoch_fn, unjitted core) — shared by the one-epoch and
+    multi-epoch program builders below."""
     loss_fn = make_loss_and_components(loss_cfg)
 
     def epoch_fn(state: TrainState, images, masks, idx, valid):
@@ -195,7 +229,82 @@ def make_train_epoch_fn(
             results = jax.lax.pmean(results, pmean_axis)
         return state, results
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    return jax.jit(epoch_fn, donate_argnums=(0,)), epoch_fn
+
+
+def make_train_epoch_fn(
+    model,
+    loss_cfg: LossConfig,
+    *,
+    compute_metrics: bool = True,
+    pmean_axis: Optional[str] = None,
+    constrain_batch=None,
+    augment=None,
+):
+    """Build the jitted one-epoch training program.
+
+    Signature of the result:
+      ``epoch_fn(state, images, masks, idx, valid) -> (state, metrics)``
+    where ``idx``/``valid`` come from
+    :func:`..data.pipeline.epoch_batch_indices` (shape ``(nb, B)``).
+
+    ``pmean_axis``: when run under shard_map over a data-parallel mesh
+    axis, gradients and metric sums are psum-averaged across it.
+    ``constrain_batch``: optional fn applied to each gathered batch
+    array — used by :mod:`..parallel.sharding` to attach
+    `with_sharding_constraint` so the SPMD partitioner shards the
+    compute (grads then all-reduce automatically).
+    ``augment``: optional ``f(key, images, masks) -> (images, masks)``
+    applied on-device per batch (see :mod:`..data.augment`).
+    """
+    jitted, _ = _make_epoch_fns(
+        model,
+        loss_cfg,
+        compute_metrics=compute_metrics,
+        pmean_axis=pmean_axis,
+        constrain_batch=constrain_batch,
+        augment=augment,
+    )
+    return jitted
+
+
+def make_train_epochs_fn(
+    model,
+    loss_cfg: LossConfig,
+    *,
+    compute_metrics: bool = True,
+    pmean_axis: Optional[str] = None,
+    constrain_batch=None,
+    augment=None,
+):
+    """Multi-epoch training program: E epochs in ONE dispatch.
+
+    ``fn(state, images, masks, idx, valid) -> (state, metrics)`` with
+    ``idx``/``valid`` of shape ``(E, nb, B)`` (stack one
+    :func:`..data.pipeline.epoch_batch_indices` plan per epoch) and each
+    metric returned per-epoch with leading axis E.
+
+    Use for fixed-epoch-budget stages and benchmarks: on a remote/
+    tunnelled TPU each dispatch costs a full host round trip, and even
+    locally the per-epoch dispatch + scalar sync is pure overhead when
+    no host decision (early stopping) is taken between epochs.
+    """
+    _, core = _make_epoch_fns(
+        model,
+        loss_cfg,
+        compute_metrics=compute_metrics,
+        pmean_axis=pmean_axis,
+        constrain_batch=constrain_batch,
+        augment=augment,
+    )
+
+    def epochs_fn(state: TrainState, images, masks, idx, valid):
+        def body(st, plan):
+            return core(st, images, masks, plan[0], plan[1])
+
+        return jax.lax.scan(body, state, (idx, valid))
+
+    return jax.jit(epochs_fn, donate_argnums=(0,))
 
 
 def make_train_step_fn(

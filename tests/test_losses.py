@@ -141,3 +141,55 @@ def test_loss_components_keys(rng):
     comps0 = losses.loss_components(jnp.asarray(pred), jnp.asarray(target))
     assert float(comps0["pde_loss"]) == 0.0
     assert float(comps0["phase_field_loss"]) == 0.0
+
+
+class TestSaturatedBCEGradients:
+    """Regression: saturated probabilities (exactly 0.0 / 1.0, routine
+    once sigmoid logits pass ~16.6 in f32) must give finite gradients
+    matching torch's clamped binary_cross_entropy_backward — naive
+    autodiff through the clipped logs yields 0*inf = NaN and killed the
+    round-2 parity training at epoch 6."""
+
+    def _saturated_pair(self):
+        p = np.array([[0.0, 1.0, 0.5, 1.0, 0.0, 0.3]], np.float32)
+        t = np.array([[0.0, 1.0, 1.0, 0.0, 1.0, 1.0]], np.float32)
+        return p, t
+
+    def test_bce_grad_finite_and_matches_torch(self):
+        import torch
+
+        p_np, t_np = self._saturated_pair()
+        g = jax.grad(lambda p: losses.bce_loss(p, jnp.asarray(t_np)))(
+            jnp.asarray(p_np)
+        )
+        assert np.isfinite(np.asarray(g)).all()
+
+        pt = torch.tensor(p_np, requires_grad=True)
+        torch.nn.BCELoss()(pt, torch.tensor(t_np)).backward()
+        np.testing.assert_allclose(
+            np.asarray(g), pt.grad.numpy(), rtol=1e-5, atol=0
+        )
+
+    def test_dice_bce_pde_grad_finite_at_saturation(self):
+        p = jnp.asarray(
+            np.clip(np.linspace(0, 1, 64).reshape(1, 8, 8), 0.0, 1.0).astype(
+                np.float32
+            )
+        )
+        p = p.at[0, 0, 0].set(0.0).at[0, -1, -1].set(1.0)
+        t = jnp.asarray((np.linspace(0, 1, 64).reshape(1, 8, 8) > 0.5).astype(np.float32))
+        g = jax.grad(
+            lambda x: losses.dice_bce_pde_loss(
+                x, t, pde_weight=1e-4, phase_field_weight=1e-4
+            )
+        )(p)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_masked_bce_grad_finite(self):
+        p = jnp.asarray(np.array([[1.0, 0.0], [0.5, 0.5]], np.float32))
+        t = jnp.asarray(np.array([[0.0, 1.0], [1.0, 0.0]], np.float32))
+        mask = jnp.asarray(np.array([[1.0, 1.0], [0.0, 0.0]], np.float32))
+        g = jax.grad(lambda x: losses.bce_loss(x, t, mask=mask))(p)
+        assert np.isfinite(np.asarray(g)).all()
+        # masked-out row contributes zero gradient
+        np.testing.assert_array_equal(np.asarray(g)[1], np.zeros(2, np.float32))

@@ -1,0 +1,212 @@
+"""Numerical-equivalence tests for the round-2 performance paths.
+
+1. ``ops.pool.max_pool_2x2``: forward == flax ``nn.max_pool`` exactly;
+   backward == torch ``MaxPool2d`` exactly INCLUDING ties (first-match
+   routing in row-major window order), where ``jnp.max``'s own VJP
+   would split gradient among ties.
+2. ``create_train_state(flat=True)``: flat single-vector parameter
+   storage trains bit-identically to tree storage (same grads, same
+   AdamW trajectory).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from flax import linen as nn
+
+from physics_informed_image_segmentation_tpu.data import DeviceDataset, make_blobs
+from physics_informed_image_segmentation_tpu.models import UNet
+from physics_informed_image_segmentation_tpu.ops.pool import max_pool_2x2
+from physics_informed_image_segmentation_tpu.train import (
+    LossConfig,
+    create_train_state,
+    make_train_epoch_fn,
+    tree_params,
+)
+from physics_informed_image_segmentation_tpu.data import epoch_batch_indices
+
+
+class TestFusedMaxPool:
+    def test_forward_matches_nn_max_pool(self, rng):
+        x = jnp.asarray(rng.normal(size=(3, 16, 20, 7)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2(x)),
+            np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))),
+        )
+
+    def test_backward_matches_torch_random(self, rng):
+        x_np = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        g_np = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+
+        _, vjp = jax.vjp(max_pool_2x2, jnp.asarray(x_np))
+        (dx,) = vjp(jnp.asarray(g_np))
+
+        xt = torch.tensor(x_np.transpose(0, 3, 1, 2), requires_grad=True)
+        out = torch.nn.functional.max_pool2d(xt, 2)
+        out.backward(torch.tensor(g_np.transpose(0, 3, 1, 2)))
+        np.testing.assert_array_equal(
+            np.asarray(dx), xt.grad.numpy().transpose(0, 2, 3, 1)
+        )
+
+    def test_backward_matches_torch_with_ties(self):
+        # constant windows (all four elements tie), plus blocks with
+        # duplicated maxima in different positions
+        x_np = np.zeros((1, 4, 4, 1), np.float32)
+        x_np[0, :, :, 0] = [
+            [1, 1, 2, 5],
+            [1, 1, 5, 2],
+            [3, 0, 7, 7],
+            [3, 0, 7, 7],
+        ]
+        g_np = np.arange(1, 5, dtype=np.float32).reshape(1, 2, 2, 1)
+
+        _, vjp = jax.vjp(max_pool_2x2, jnp.asarray(x_np))
+        (dx,) = vjp(jnp.asarray(g_np))
+
+        xt = torch.tensor(x_np.transpose(0, 3, 1, 2), requires_grad=True)
+        out = torch.nn.functional.max_pool2d(xt, 2)
+        out.backward(torch.tensor(g_np.transpose(0, 3, 1, 2)))
+        torch_dx = xt.grad.numpy().transpose(0, 2, 3, 1)
+
+        np.testing.assert_array_equal(np.asarray(dx), torch_dx)
+        # ... and prove the tie actually matters: plain jnp.max VJP
+        # splits gradient among the four tied elements.
+        def plain(x):
+            b, h, w, c = x.shape
+            return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+        _, vjp2 = jax.vjp(plain, jnp.asarray(x_np))
+        (dx_plain,) = vjp2(jnp.asarray(g_np))
+        assert not np.array_equal(np.asarray(dx_plain), torch_dx)
+
+    def test_unet_pool_modes_forward_identical(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+        m1 = UNet(base_channels=4, dropout=0.0, pool="fused")
+        m2 = UNet(base_channels=4, dropout=0.0, pool="xla")
+        params = m1.init(jax.random.key(0), x)
+        np.testing.assert_array_equal(
+            np.asarray(m1.apply(params, x)), np.asarray(m2.apply(params, x))
+        )
+
+    def test_unet_pool_modes_gradient_identical(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+        y = jnp.asarray((rng.uniform(size=(2, 16, 16, 1)) > 0.5).astype(np.float32))
+        m1 = UNet(base_channels=4, dropout=0.0, pool="fused")
+        m2 = UNet(base_channels=4, dropout=0.0, pool="xla")
+        params = m1.init(jax.random.key(0), x)
+
+        def loss(m):
+            def f(p):
+                pred = m.apply(p, x)
+                return jnp.mean((pred - y) ** 2)
+
+            return f
+
+        g1 = jax.grad(loss(m1))(params)
+        g2 = jax.grad(loss(m2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFlatTrainState:
+    @pytest.mark.parametrize("dropout", [0.0, 0.2])
+    def test_flat_trains_identically_to_tree(self, dropout):
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=dropout)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=True)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        results = {}
+        for flat in (False, True):
+            state = create_train_state(
+                model, jax.random.key(3), 1e-3, input_shape=(1, 32, 32, 1), flat=flat
+            )
+            for _ in range(3):
+                state, r = epoch_fn(state, tr.images, tr.masks, idx, valid)
+            results[flat] = (tree_params(state), r)
+
+        p_tree, r_tree = results[False]
+        p_flat, r_flat = results[True]
+        for k in r_tree:
+            np.testing.assert_allclose(
+                float(r_tree[k]), float(r_flat[k]), rtol=1e-6, err_msg=k
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_tree), jax.tree_util.tree_leaves(p_flat)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-7
+            )
+
+    def test_tree_params_roundtrip(self):
+        model = UNet(base_channels=4)
+        state = create_train_state(
+            model, jax.random.key(0), 1e-4, input_shape=(1, 32, 32, 1), flat=True
+        )
+        assert state.params.ndim == 1
+        tree = tree_params(state)
+        ref = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        # same structure as a fresh init (values differ only by rng use)
+        assert jax.tree_util.tree_structure(tree) == jax.tree_util.tree_structure(ref)
+
+
+class TestFlatAdamW:
+    """flat_adamw must be BIT-identical to optax.adamw (same elementwise
+    math, flat m/v storage)."""
+
+    def test_bit_identical_trajectory(self):
+        import optax
+
+        from physics_informed_image_segmentation_tpu.train.optim import flat_adamw
+
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=0.2)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=False)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        final = {}
+        for name in ("adamw", "flat_adamw"):
+            state = create_train_state(
+                model, jax.random.key(7), 1e-3, input_shape=(1, 32, 32, 1),
+                optimizer=name,
+            )
+            for _ in range(3):
+                state, r = epoch_fn(state, tr.images, tr.masks, idx, valid)
+            final[name] = (state.params, float(r["loss"]))
+
+        assert final["adamw"][1] == final["flat_adamw"][1]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(final["adamw"][0]),
+            jax.tree_util.tree_leaves(final["flat_adamw"][0]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_matches_optax_single_step_random_tree(self, rng):
+        import optax
+
+        from physics_informed_image_segmentation_tpu.train.optim import flat_adamw
+
+        params = {
+            "a": jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32)),
+            "b": {"w": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))},
+        }
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape).astype(np.float32)), params
+        )
+        tx1 = optax.adamw(3e-4, weight_decay=1e-5)
+        tx2 = flat_adamw(3e-4, weight_decay=1e-5)
+        s1, s2 = tx1.init(params), tx2.init(params)
+        p1, p2 = params, params
+        for _ in range(5):
+            u1, s1 = tx1.update(grads, s1, p1)
+            p1 = optax.apply_updates(p1, u1)
+            u2, s2 = tx2.update(grads, s2, p2)
+            p2 = optax.apply_updates(p2, u2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
