@@ -157,6 +157,8 @@ def run_ours() -> None:
         output_dir=out / "output",
         models_dir=out / "models",
         make_plots=True,
+        precision="f32",  # the reference trains in f32 — match it for
+        # the quality-parity claim (bf16 is the throughput path)
         **HP,
     )
 
@@ -171,6 +173,7 @@ def run_ours() -> None:
         DATA_ROOT / "images" / "testing",
         DATA_ROOT / "images" / "annotation" / "testing_annotation.json",
         output_dir=out / "output",
+        dtype="f32",  # the reference evaluates in f32
     )
     print(f"our artifacts -> {out}")
 
@@ -240,6 +243,25 @@ def report() -> None:
         )
 
     lines += [
+        "",
+        "## Interpretation",
+        "",
+        "- Absolute quality parity: baseline-model test Dice agrees to 4",
+        "  decimals (0.9797 vs 0.9798), IoU to 3; PDE-model metrics are",
+        "  within one test-set standard error.  The two frameworks train",
+        "  to the same place from scratch.",
+        "- Both statistics pipelines return the same verdict (PDE",
+        "  significantly better on all four metrics at alpha=0.05).",
+        "- Both evaluations run in f32, like the two trainings.  (An",
+        "  earlier bf16 evaluation of our side washed out the paired",
+        "  per-image differences and flipped Dice/IoU to non-significant",
+        "  — paired tests on a ~0.1% effect need eval noise well below",
+        "  the effect; `evaluate_and_compare(dtype=...)` exposes this.)",
+        "- This run also flushed out a real framework bug: training NaN'd",
+        "  at epoch 6 once predictions saturated, because autodiff through",
+        "  the clamped-log BCE yields 0*inf at p in {0,1}.  Fixed with",
+        "  torch's exact clamped backward (`ops/losses.py::_bce_bwd`,",
+        "  regression-tested in tests/test_losses.py).",
         "",
         "Raw artifacts: `artifacts/parity/reference/` (reference CSV/JSON/pth) and",
         "`artifacts/parity/ours/` (CSV/JSON/msgpack).  Regenerate with the",
