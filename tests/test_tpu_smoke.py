@@ -82,6 +82,29 @@ _SCRIPT = textwrap.dedent(
     v_ref = float(pde_ops.pde_residual_loss(pred, 5.0, 0.5)) * pred.size
     assert abs(v_pad - v_ref) / abs(v_ref) < 1e-5, (v_pad, v_ref)
 
+    # the FULL halo + fused-Pallas physics path on hardware: a 1-device
+    # mesh exercises the padded kernel's mirror-edge (global Neumann)
+    # branch through the real shard_map + ppermute wrapper — this is the
+    # Mosaic compile the CPU dryrun only interprets
+    from jax.sharding import Mesh
+    from physics_informed_image_segmentation_tpu.parallel.halo import (
+        halo_physics_loss_pallas,
+    )
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("space",))
+    rd_halo, pf_halo = jax.jit(
+        lambda v: halo_physics_loss_pallas(v, mesh1, 5.0, 0.5, 0.05, True)
+    )(pred)
+    rd_ref = float(pde_ops.pde_residual_loss(pred, 5.0, 0.5))
+    pf_ref = float(pde_ops.phase_field_loss(pred, 0.05))
+    assert abs(float(rd_halo) - rd_ref) / rd_ref < 1e-5, (float(rd_halo), rd_ref)
+    assert abs(float(pf_halo) - pf_ref) / pf_ref < 1e-5, (float(pf_halo), pf_ref)
+    g_halo = jax.jit(
+        jax.grad(lambda v: halo_physics_loss_pallas(v, mesh1, 5.0, 0.5, 0.05, True)[0])
+    )(pred)
+    assert np.isfinite(np.asarray(g_halo)).all()
+    print("HALO_PALLAS_TPU_OK")
+
     # one real train epoch on the chip (bf16, pallas loss, on-device metrics)
     data = DeviceDataset.from_numpy(*make_blobs(32, 128, 128, seed=0))
     model = UNet(base_channels=64, dtype=jnp.bfloat16)
@@ -121,4 +144,5 @@ def test_tpu_pallas_and_train_step():
     if "NO_TPU" in result.stdout:
         pytest.skip("no TPU attached")
     assert result.returncode == 0, out
+    assert "HALO_PALLAS_TPU_OK" in result.stdout, out
     assert "TPU_OK" in result.stdout, out
