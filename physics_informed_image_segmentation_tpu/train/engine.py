@@ -72,6 +72,12 @@ class TrainState(struct.PyTreeNode):
     unravel: Optional[Callable] = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads):
+        fused = getattr(self.tx, "fused_apply_gradients", None)
+        if fused is not None:
+            new_params, new_opt_state = fused(grads, self.opt_state, self.params)
+            return self.replace(
+                step=self.step + 1, params=new_params, opt_state=new_opt_state
+            )
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         return self.replace(
             step=self.step + 1,
@@ -121,8 +127,17 @@ def create_train_state(
         from .optim import flat_adamw
 
         tx = flat_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
-    else:
+    elif optimizer == "pallas_adamw":
+        from .pallas_optim import pallas_adamw
+
+        tx = pallas_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    elif optimizer == "adamw":
         tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    else:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; expected 'adamw', "
+            "'flat_adamw' or 'pallas_adamw'"
+        )
     apply_fn, unravel = model.apply, None
     if flat:
         from jax.flatten_util import ravel_pytree

@@ -210,3 +210,50 @@ class TestFlatAdamW:
             jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPallasAdamW:
+    """Bucketed multi-ref Pallas AdamW (train/pallas_optim.py): both the
+    bucketed-kernel path and the big-leaf XLA path must be bit-identical
+    to optax.adamw.  (On TPU it measured SLOWER than optax — a kept,
+    documented negative — but it must stay correct.)"""
+
+    def _run(self, opt, bucket_bytes=None):
+        from physics_informed_image_segmentation_tpu.train import pallas_optim as po
+
+        old = po._BUCKET_BYTES
+        if bucket_bytes is not None:
+            po._BUCKET_BYTES = bucket_bytes
+        try:
+            tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+            model = UNet(base_channels=4, dropout=0.2)
+            fn = make_train_epoch_fn(model, LossConfig(pde_weight=1e-4))
+            idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+            st = create_train_state(
+                model, jax.random.key(3), 1e-3, input_shape=(1, 32, 32, 1),
+                optimizer=opt,
+            )
+            for _ in range(3):
+                st, r = fn(st, tr.images, tr.masks, idx, valid)
+            return st.params, float(r["loss"])
+        finally:
+            po._BUCKET_BYTES = old
+
+    def test_bucketed_path_bit_identical(self):
+        p_ref, l_ref = self._run("adamw")
+        p_pl, l_pl = self._run("pallas_adamw")  # all leaves bucketed
+        assert l_ref == l_pl
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_pl)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_big_leaf_path_bit_identical(self):
+        p_ref, l_ref = self._run("adamw")
+        # tiny cap forces most leaves onto the big-leaf XLA branch
+        p_pl, l_pl = self._run("pallas_adamw", bucket_bytes=4096)
+        assert l_ref == l_pl
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_pl)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
