@@ -257,3 +257,39 @@ class TestPallasAdamW:
             jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_pl)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMultiEpochProgram:
+    """make_train_epochs_fn (E epochs in one dispatch) must be
+    bit-identical to E sequential make_train_epoch_fn dispatches."""
+
+    def test_matches_sequential_epochs(self):
+        from physics_informed_image_segmentation_tpu.train import (
+            make_train_epochs_fn,
+        )
+
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=0.2)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        e1 = make_train_epoch_fn(model, cfg)
+        eN = make_train_epochs_fn(model, cfg)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        s1 = create_train_state(model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1))
+        per_epoch = []
+        for _ in range(3):
+            s1, r1 = e1(s1, tr.images, tr.masks, idx, valid)
+            per_epoch.append(float(r1["loss"]))
+
+        s2 = create_train_state(model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1))
+        idx3 = jnp.stack([idx] * 3)
+        valid3 = jnp.stack([valid] * 3)
+        s2, rN = eN(s2, tr.images, tr.masks, idx3, valid3)
+
+        assert rN["loss"].shape == (3,)
+        np.testing.assert_array_equal(np.asarray(rN["loss"]), np.asarray(per_epoch))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(s2.step) == int(s1.step)
