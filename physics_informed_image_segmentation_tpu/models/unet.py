@@ -113,6 +113,11 @@ class FastUpsample(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    # depth-to-space formulation (same math, different XLA lowering):
+    #   "einsum6"  one 6-D einsum -> reshape (profiled: XLA inserts a
+    #              ~0.1 ms relayout copy at the 128x128 level);
+    #   "taps"     one matmul per kernel tap + jnp.stack interleave.
+    variant: str = "einsum6"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,14 +130,30 @@ class FastUpsample(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         # lax.conv_transpose applies the kernel spatially flipped
         k = kernel[::-1, ::-1].astype(self.dtype)
-        # output spec "bhiwjf" puts the depth-to-space interleave directly
-        # in the einsum's output layout — no separate transpose copy
-        y = jnp.einsum(
-            "bhwc,ijcf->bhiwjf", x.astype(self.dtype), k,
-            preferred_element_type=self.dtype,
-        )
-        b_, h, _, w, _, f = y.shape
-        y = y.reshape(b_, h * 2, w * 2, f)
+        xc = x.astype(self.dtype)
+        b_, h, w, _ = x.shape
+        if self.variant == "taps":
+            # one (B*H*W, C) x (C, F) matmul per output-pixel parity; the
+            # c-contraction of each output element is a single dot in both
+            # variants, so results are bit-identical to "einsum6".
+            y = [
+                jnp.einsum(
+                    "bhwc,cf->bhwf", xc, k[i, j],
+                    preferred_element_type=self.dtype,
+                )
+                for i in (0, 1)
+                for j in (0, 1)
+            ]
+            row0 = jnp.stack(y[0:2], axis=3)  # (B, H, W, 2, F)
+            row1 = jnp.stack(y[2:4], axis=3)
+            out = jnp.stack([row0, row1], axis=2)  # (B, H, 2, W, 2, F)
+        else:
+            # output spec "bhiwjf" puts the depth-to-space interleave
+            # directly in the einsum's output index order
+            out = jnp.einsum(
+                "bhwc,ijcf->bhiwjf", xc, k, preferred_element_type=self.dtype
+            )
+        y = out.reshape(b_, h * 2, w * 2, self.features)
         return y + bias.astype(self.dtype)
 
 
@@ -162,6 +183,8 @@ class UNet(nn.Module):
     # ConvTranspose(k=2, s=2) with the same parameter structure, ~2×
     # faster on TPU (see FastUpsample).
     fast_upsample: bool = True
+    # FastUpsample lowering variant ("einsum6" | "taps"), see FastUpsample.
+    upsample_variant: str = "einsum6"
     # "fused": reshape-max pool with hand-written first-match backward
     # (bit-compatible with select-and-scatter/torch incl. ties, ~0.4 ms
     # per step faster — see ops/pool.py); "xla": flax nn.max_pool.
@@ -184,7 +207,7 @@ class UNet(nn.Module):
             nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         )
         if self.fast_upsample:
-            Up = lambda feats: FastUpsample(feats, dt)
+            Up = lambda feats: FastUpsample(feats, dt, self.upsample_variant)
         else:
             Up = lambda feats: nn.ConvTranspose(
                 feats, (2, 2), strides=(2, 2), padding="VALID", dtype=dt

@@ -107,11 +107,14 @@ def create_train_state(
     reference's per-stage `optim.AdamW(lr, weight_decay=1e-5)`
     (/root/reference/src/train.py:658-662,722-726).
 
-    ``optimizer``: "adamw" (default, per-leaf ``optax.adamw``) or
+    ``optimizer``: "adamw" (default, per-leaf ``optax.adamw``),
     "flat_adamw" (flat m/v storage, bit-identical trajectories; measured
     SLOWER on TPU — the grad ravel / update unravel pay tiled<->linear
     relayout copies that exceed the 45-fusion overhead they remove,
-    scripts/ab_bench.py round 2: 1176 vs 1370 img/s).
+    scripts/ab_bench.py round 2: 1176 vs 1370 img/s), "grouped_adamw"
+    (only sub-1.4M-element leaves flattened into one fused update;
+    also measured slower, 1265 vs 1355 — see docs/DESIGN.md §7), or
+    "pallas_adamw" (bucketed multi-ref kernel; 1323 vs 1370).
 
     ``flat=True`` additionally stores params as one flat f32 vector with
     ``apply_fn`` unravelling on the fly.  Measured SLOWER on TPU (the
@@ -127,6 +130,10 @@ def create_train_state(
         from .optim import flat_adamw
 
         tx = flat_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    elif optimizer == "grouped_adamw":
+        from .optim import grouped_adamw
+
+        tx = grouped_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
     elif optimizer == "pallas_adamw":
         from .pallas_optim import pallas_adamw
 
@@ -136,7 +143,7 @@ def create_train_state(
     else:
         raise ValueError(
             f"unknown optimizer {optimizer!r}; expected 'adamw', "
-            "'flat_adamw' or 'pallas_adamw'"
+            "'flat_adamw', 'grouped_adamw' or 'pallas_adamw'"
         )
     apply_fn, unravel = model.apply, None
     if flat:
@@ -186,6 +193,7 @@ def _make_epoch_fns(
     pmean_axis: Optional[str] = None,
     constrain_batch=None,
     augment=None,
+    compiler_options: Optional[dict] = None,
 ):
     """(jitted epoch_fn, unjitted core) — shared by the one-epoch and
     multi-epoch program builders below."""
@@ -244,7 +252,10 @@ def _make_epoch_fns(
             results = jax.lax.pmean(results, pmean_axis)
         return state, results
 
-    return jax.jit(epoch_fn, donate_argnums=(0,)), epoch_fn
+    return (
+        jax.jit(epoch_fn, donate_argnums=(0,), compiler_options=compiler_options),
+        epoch_fn,
+    )
 
 
 def make_train_epoch_fn(
@@ -255,6 +266,7 @@ def make_train_epoch_fn(
     pmean_axis: Optional[str] = None,
     constrain_batch=None,
     augment=None,
+    compiler_options: Optional[dict] = None,
 ):
     """Build the jitted one-epoch training program.
 
@@ -271,6 +283,10 @@ def make_train_epoch_fn(
     compute (grads then all-reduce automatically).
     ``augment``: optional ``f(key, images, masks) -> (images, masks)``
     applied on-device per batch (see :mod:`..data.augment`).
+    ``compiler_options``: optional XLA backend options for this program
+    (e.g. ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) — forwarded to
+    ``jax.jit``; unlike ``XLA_FLAGS`` these reach the TPU compiler even
+    through a remote-execution client.
     """
     jitted, _ = _make_epoch_fns(
         model,
@@ -279,6 +295,7 @@ def make_train_epoch_fn(
         pmean_axis=pmean_axis,
         constrain_batch=constrain_batch,
         augment=augment,
+        compiler_options=compiler_options,
     )
     return jitted
 
@@ -291,6 +308,7 @@ def make_train_epochs_fn(
     pmean_axis: Optional[str] = None,
     constrain_batch=None,
     augment=None,
+    compiler_options: Optional[dict] = None,
 ):
     """Multi-epoch training program: E epochs in ONE dispatch.
 
@@ -319,7 +337,9 @@ def make_train_epochs_fn(
 
         return jax.lax.scan(body, state, (idx, valid))
 
-    return jax.jit(epochs_fn, donate_argnums=(0,))
+    return jax.jit(
+        epochs_fn, donate_argnums=(0,), compiler_options=compiler_options
+    )
 
 
 def make_train_step_fn(

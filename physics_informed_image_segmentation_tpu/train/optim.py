@@ -26,14 +26,14 @@ costs ~1 ms/step, scripts/ab_bench.py round 2).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["flat_adamw", "FlatAdamWState"]
+__all__ = ["flat_adamw", "FlatAdamWState", "grouped_adamw", "GroupedAdamWState"]
 
 
 class FlatAdamWState(NamedTuple):
@@ -76,5 +76,120 @@ def flat_adamw(
             lambda ul, p: -learning_rate * (ul + weight_decay * p), u_tree, params
         )
         return updates, FlatAdamWState(count=count, m=m, v=v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class GroupedAdamWState(NamedTuple):
+    count: jax.Array  # int32 step counter
+    m_flat: jax.Array  # (n_small,) first moment of grouped small leaves
+    v_flat: jax.Array  # (n_small,) second moment of grouped small leaves
+    m_big: Any  # tuple of per-leaf first moments (large leaves)
+    v_big: Any  # tuple of per-leaf second moments (large leaves)
+
+
+def grouped_adamw(
+    learning_rate: float,
+    weight_decay: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_group_elems: int = 1_400_000,
+) -> optax.GradientTransformation:
+    """AdamW with SMALL leaves updated as one flat fused op, big leaves native.
+
+    Motivation (TPU profile, scripts/profile_step.py round 2): the per-leaf
+    ``multiply_add_fusion``s for mid-size conv kernels (37k–1.2M elements)
+    each run 100–130 us — far off their HBM-traffic cost (1–35 us) — while
+    the biggest leaves ([3,3,512,512]+) already run at bandwidth.  Flattening
+    EVERYTHING (``flat_adamw``) pays tiled<->linear relayout copies on the
+    big kernels and measured slower; this hybrid groups only the leaves
+    below ``max_group_elems`` (default keeps [3,3,512,256] and smaller,
+    ~6M of the 20.5M params) into one flat moment buffer + one fused
+    update, and leaves the bandwidth-bound big kernels on XLA's per-leaf
+    fusions.
+
+    Math is elementwise-identical to ``optax.adamw`` (same formulations in
+    the same order for both groups), so trajectories are bit-identical —
+    pinned by tests/test_perf_equiv.py.
+    """
+
+    def _small_idx(leaves):
+        return [i for i, leaf in enumerate(leaves) if leaf.size <= max_group_elems]
+
+    def init_fn(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        small = _small_idx(leaves)
+        small_set = set(small)
+        n_small = sum(leaves[i].size for i in small)
+        big = tuple(
+            jnp.zeros_like(leaf)
+            for i, leaf in enumerate(leaves)
+            if i not in small_set
+        )
+        return GroupedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            m_flat=jnp.zeros((n_small,), jnp.float32),
+            v_flat=jnp.zeros((n_small,), jnp.float32),
+            m_big=big,
+            v_big=tuple(jnp.zeros_like(b) for b in big),
+        )
+
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("grouped_adamw requires params (weight decay)")
+        g_leaves, treedef = jax.tree_util.tree_flatten(grads)
+        p_leaves = treedef.flatten_up_to(params)
+        small = _small_idx(g_leaves)
+        small_set = set(small)
+        count = optax.safe_int32_increment(state.count)
+
+        updates = [None] * len(g_leaves)
+        # --- grouped small leaves: one fused elementwise pass ---
+        if small:
+            g_flat = jnp.concatenate(
+                [g_leaves[i].reshape(-1).astype(jnp.float32) for i in small]
+            )
+            m = optax.tree.update_moment(g_flat, state.m_flat, b1, 1)
+            v = optax.tree.update_moment_per_elem_norm(g_flat, state.v_flat, b2, 2)
+            mhat = optax.tree.bias_correction(m, b1, count)
+            vhat = optax.tree.bias_correction(v, b2, count)
+            u = mhat / (jnp.sqrt(vhat) + eps)
+            off = 0
+            for i in small:
+                size = g_leaves[i].size
+                u_leaf = u[off : off + size].reshape(g_leaves[i].shape)
+                updates[i] = -learning_rate * (
+                    u_leaf + weight_decay * p_leaves[i]
+                )
+                off += size
+        else:
+            m = state.m_flat
+            v = state.v_flat
+        # --- big leaves: per-leaf, exactly like optax.adamw ---
+        m_big, v_big = [], []
+        for j, i in enumerate(k for k in range(len(g_leaves)) if k not in small_set):
+            g_leaf = g_leaves[i]
+            m_leaf = optax.tree.update_moment(g_leaf, state.m_big[j], b1, 1)
+            v_leaf = optax.tree.update_moment_per_elem_norm(
+                g_leaf, state.v_big[j], b2, 2
+            )
+            mhat = optax.tree.bias_correction(m_leaf, b1, count)
+            vhat = optax.tree.bias_correction(v_leaf, b2, count)
+            updates[i] = -learning_rate * (
+                mhat / (jnp.sqrt(vhat) + eps) + weight_decay * p_leaves[i]
+            )
+            m_big.append(m_leaf)
+            v_big.append(v_leaf)
+        return (
+            jax.tree_util.tree_unflatten(treedef, updates),
+            GroupedAdamWState(
+                count=count,
+                m_flat=m,
+                v_flat=v,
+                m_big=tuple(m_big),
+                v_big=tuple(v_big),
+            ),
+        )
 
     return optax.GradientTransformation(init_fn, update_fn)

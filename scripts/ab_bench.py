@@ -30,7 +30,9 @@ WARMUP = 2
 TIMED = 5
 
 
-def run_variant(pool: str, flat: bool, opt: str = "adamw") -> float:
+def run_variant(
+    pool: str, flat: bool, opt: str = "adamw", upsample: str = "einsum6"
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -50,13 +52,19 @@ def run_variant(pool: str, flat: bool, opt: str = "adamw") -> float:
     data = DeviceDataset.from_numpy(images, masks)
     model = UNet(
         in_channels=1, out_channels=1, base_channels=64, dtype=jnp.bfloat16,
-        pool=pool,
+        pool=pool, upsample_variant=upsample,
     )
     cfg = LossConfig(
         pde_weight=1e-4, phase_field_weight=1e-4, diffusion_coeff=5.0,
         reaction_threshold=0.5, epsilon=0.05,
     )
-    epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=True)
+    import json as _json
+
+    copts = os.environ.get("AB_COMPILER_OPTIONS")
+    copts = _json.loads(copts) if copts else None
+    epoch_fn = make_train_epoch_fn(
+        model, cfg, compute_metrics=True, compiler_options=copts
+    )
     state = create_train_state(
         model, jax.random.key(0), 1e-4,
         input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1), flat=flat, optimizer=opt,
@@ -75,7 +83,8 @@ def run_variant(pool: str, flat: bool, opt: str = "adamw") -> float:
     dt = (time.perf_counter() - t0) / TIMED
     ips = data.n / dt
     print(
-        f"VARIANT pool={pool} flat={int(flat)} opt={opt}: {ips:8.1f} img/s "
+        f"VARIANT pool={pool} flat={int(flat)} opt={opt} up={upsample}: "
+        f"{ips:8.1f} img/s "
         f"({dt / (N_IMAGES // BATCH_SIZE) * 1e3:.3f} ms/step), loss={float(r['loss']):.4f}",
         flush=True,
     )
@@ -124,7 +133,8 @@ def run_multi_epoch(pool: str = "fused", opt: str = "adamw") -> float:
 if __name__ == "__main__":
     if len(sys.argv) > 2:
         run_variant(sys.argv[1], bool(int(sys.argv[2])),
-                    sys.argv[3] if len(sys.argv) > 3 else "adamw")
+                    sys.argv[3] if len(sys.argv) > 3 else "adamw",
+                    sys.argv[4] if len(sys.argv) > 4 else "einsum6")
     elif len(sys.argv) > 1 and sys.argv[1] == "multi":
         run_multi_epoch()
     else:

@@ -99,17 +99,21 @@ def run_trace() -> None:
                 continue
             # resolve metadata
             ev_name = {m.id: m.name for m in plane.event_metadata.values()}
-            agg = defaultdict(lambda: [0, 0.0])  # name -> [count, total_ps]
+            print(f"\n==== plane {plane.name} ====")
             for line in plane.lines:
+                total = sum(ev.duration_ps for ev in line.events)
+                print(
+                    f"\n-- line {line.id} {line.name!r}: {len(line.events)} events,"
+                    f" {total/1e9:.3f} ms summed --"
+                )
+                agg = defaultdict(lambda: [0, 0.0])  # name -> [count, total_ps]
                 for ev in line.events:
                     n = ev_name.get(ev.metadata_id, str(ev.metadata_id))
                     agg[n][0] += 1
                     agg[n][1] += ev.duration_ps
-            rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
-            total = sum(v[1] for v in agg.values())
-            print(f"\n== plane {plane.name}: {total/1e9:.3f} ms total ==")
-            for name, (cnt, ps) in rows[:60]:
-                print(f"{ps/1e9:9.4f} ms  x{cnt:4d}  {name[:110]}")
+                rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
+                for name, (cnt, ps) in rows[:45]:
+                    print(f"{ps/1e9:9.4f} ms  x{cnt:4d}  {name[:120]}")
 
 
 def run_hlo() -> None:

@@ -212,6 +212,100 @@ class TestFlatAdamW:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestGroupedAdamW:
+    """grouped_adamw (small leaves flattened into ONE fused update, big
+    leaves native) must be bit-identical to optax.adamw.  (On TPU it
+    measured SLOWER — the small-leaf ravel/unravel relayout copies cost
+    more than the pathological per-leaf fusions they remove — a kept,
+    documented negative; see docs/DESIGN.md §7.)"""
+
+    def test_trains_bit_identically(self):
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=0.2)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=False)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        final = {}
+        for name in ("adamw", "grouped_adamw"):
+            state = create_train_state(
+                model, jax.random.key(7), 1e-3, input_shape=(1, 32, 32, 1),
+                optimizer=name,
+            )
+            for _ in range(3):
+                state, r = epoch_fn(state, tr.images, tr.masks, idx, valid)
+            final[name] = (state.params, float(r["loss"]))
+
+        assert final["adamw"][1] == final["grouped_adamw"][1]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(final["adamw"][0]),
+            jax.tree_util.tree_leaves(final["grouped_adamw"][0]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("max_group_elems", [0, 60, 10_000_000])
+    def test_matches_optax_mixed_groups(self, rng, max_group_elems):
+        """Thresholds exercising all-native, mixed, and all-grouped splits."""
+        import optax
+
+        from physics_informed_image_segmentation_tpu.train.optim import (
+            grouped_adamw,
+        )
+
+        params = {
+            "a": jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32)),
+            "b": {"w": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))},
+            "c": jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+        }
+        tx1 = optax.adamw(3e-4, weight_decay=1e-5)
+        tx2 = grouped_adamw(3e-4, weight_decay=1e-5, max_group_elems=max_group_elems)
+        s1, s2 = tx1.init(params), tx2.init(params)
+        p1, p2 = params, params
+        for step in range(5):
+            grads = jax.tree_util.tree_map(lambda p: jnp.sin(p * (step + 1)), p1)
+            u1, s1 = tx1.update(grads, s1, p1)
+            p1 = optax.apply_updates(p1, u1)
+            grads2 = jax.tree_util.tree_map(lambda p: jnp.sin(p * (step + 1)), p2)
+            u2, s2 = tx2.update(grads2, s2, p2)
+            p2 = optax.apply_updates(p2, u2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFastUpsampleVariants:
+    """The "taps" lowering (one matmul per kernel tap + stack interleave)
+    must be numerically equivalent to the default "einsum6" lowering.
+    Not bit-identical in general (different dot blocking), so tolerance
+    rather than equality — the 0-ULP ConvTranspose-compatibility
+    invariant is pinned on the DEFAULT variant in tests/test_unet.py."""
+
+    def test_forward_and_grad_close(self, rng):
+        from physics_informed_image_segmentation_tpu.models.unet import FastUpsample
+
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+        m1 = FastUpsample(8, jnp.float32, "einsum6")
+        m2 = FastUpsample(8, jnp.float32, "taps")
+        p = m1.init(jax.random.key(1), x)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(p, x)), np.asarray(m2.apply(p, x)),
+            rtol=1e-6, atol=1e-6,
+        )
+        g1 = jax.grad(lambda q: float_loss(m1, q, x))(p)
+        g2 = jax.grad(lambda q: float_loss(m2, q, x))(p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+
+def float_loss(module, params, x):
+    return jnp.sum(jnp.sin(module.apply(params, x)))
+
+
 class TestPallasAdamW:
     """Bucketed multi-ref Pallas AdamW (train/pallas_optim.py): both the
     bucketed-kernel path and the big-leaf XLA path must be bit-identical
