@@ -50,6 +50,16 @@ A100_ASSUMPTION = (
 )
 REFERENCE_CPU_IMAGES_PER_SEC_MEASURED = 1.5  # BASELINE.md, same host, 1 thread
 
+ROOFLINE_NOTE = (
+    "per-stage roofline (docs/DESIGN.md s8): the 64-channel stages fill "
+    "64/128 MXU lanes, structural conv floor ~2.4 ms; optimizer traffic "
+    "floor 0.58 ms; perfect step ~3.1 ms = 2580 img/s ceiling on v5e at "
+    "bs=8/128^2 — the 5x-A100 bar (2500) has zero margin even at "
+    "speed-of-light; custom conv kernels were evaluated and declined "
+    "(same lane limit, DESIGN.md s9); 4 optimizer fusions + 2 layout "
+    "re-expressions measured negative (DESIGN.md s7)"
+)
+
 # bf16 peak FLOP/s by device kind (public specs)
 PEAK_FLOPS = {
     "TPU v4": 275e12,
@@ -127,7 +137,9 @@ def main() -> None:
         reaction_threshold=0.5,
         epsilon=0.05,
     )
-    epochs_fn = make_train_epochs_fn(model, cfg, compute_metrics=True)
+    epochs_fn = make_train_epochs_fn(
+        model, cfg, compute_metrics=True, param_carry_dtype=jnp.bfloat16
+    )
     state = create_train_state(
         model, jax.random.key(0), 1e-4, input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1)
     )
@@ -182,6 +194,7 @@ def main() -> None:
                 "peak_flops_assumed": peak,
                 "mfu": mfu,
                 "a100_assumption": A100_ASSUMPTION,
+                "roofline_note": ROOFLINE_NOTE,
             }
         )
     )

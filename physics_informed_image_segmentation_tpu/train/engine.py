@@ -185,6 +185,16 @@ def _sample_mask(valid, pred_ndim):
     return valid.reshape(shape)
 
 
+def _cast_float_tree(tree, dtype):
+    """Cast every floating leaf to ``dtype`` (non-float leaves pass through)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def _make_epoch_fns(
     model,
     loss_cfg: LossConfig,
@@ -194,13 +204,25 @@ def _make_epoch_fns(
     constrain_batch=None,
     augment=None,
     compiler_options: Optional[dict] = None,
+    param_carry_dtype=None,
 ):
     """(jitted epoch_fn, unjitted core) — shared by the one-epoch and
-    multi-epoch program builders below."""
+    multi-epoch program builders below.
+
+    ``param_carry_dtype``: when set (to the MODEL's compute dtype, e.g.
+    ``jnp.bfloat16``), a low-precision copy of the params is carried
+    across scan iterations and the forward/backward runs against it;
+    the f32 master params see exactly the same AdamW update (the grads
+    are ``convert(low_grad, f32)`` — identical to what the cast-in-
+    forward VJP produces), so trajectories are BIT-identical while the
+    per-step standalone f32→bf16 weight converts move into the
+    optimizer fusion and the conv fusions read half the weight bytes.
+    """
     loss_fn = make_loss_and_components(loss_cfg)
 
     def epoch_fn(state: TrainState, images, masks, idx, valid):
-        def body(state: TrainState, batch):
+        def body(carry, batch):
+            state, params_c = carry
             idx_b, valid_b = batch
             x = images[idx_b]
             y = masks[idx_b]
@@ -221,10 +243,19 @@ def _make_epoch_fns(
 
             (total, (pred, comps)), grads = jax.value_and_grad(
                 loss_of, has_aux=True
-            )(state.params)
+            )(state.params if params_c is None else params_c)
+            if params_c is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: g.astype(p.dtype), grads, state.params
+                )
             if pmean_axis is not None:
                 grads = jax.lax.pmean(grads, pmean_axis)
             new_state = state.apply_gradients(grads)
+            new_params_c = (
+                None
+                if params_c is None
+                else _cast_float_tree(new_state.params, param_carry_dtype)
+            )
 
             out = {
                 "loss": total,
@@ -236,9 +267,17 @@ def _make_epoch_fns(
             if compute_metrics:
                 d, i, b = _batch_metrics(pred, y, valid_b)
                 out.update(dice_sum=d, iou_sum=i, bf1_sum=b, n=jnp.sum(valid_b))
-            return new_state, out
+            return (new_state, new_params_c), out
 
-        state, scanned = jax.lax.scan(body, state, (idx, valid))
+        params_c0 = None
+        if param_carry_dtype is not None:
+            if state.unravel is not None:
+                raise ValueError(
+                    "param_carry_dtype is not supported with flat param "
+                    "storage (create_train_state(flat=True))"
+                )
+            params_c0 = _cast_float_tree(state.params, param_carry_dtype)
+        (state, _), scanned = jax.lax.scan(body, (state, params_c0), (idx, valid))
         results = {
             k: jnp.mean(scanned[k])
             for k in ("loss", "dice_loss", "bce_loss", "pde_loss", "phase_field_loss")
@@ -267,6 +306,7 @@ def make_train_epoch_fn(
     constrain_batch=None,
     augment=None,
     compiler_options: Optional[dict] = None,
+    param_carry_dtype=None,
 ):
     """Build the jitted one-epoch training program.
 
@@ -287,6 +327,9 @@ def make_train_epoch_fn(
     (e.g. ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) — forwarded to
     ``jax.jit``; unlike ``XLA_FLAGS`` these reach the TPU compiler even
     through a remote-execution client.
+    ``param_carry_dtype``: carry a low-precision param copy across scan
+    iterations (bit-identical when it equals the model compute dtype;
+    see :func:`_make_epoch_fns`).
     """
     jitted, _ = _make_epoch_fns(
         model,
@@ -296,6 +339,7 @@ def make_train_epoch_fn(
         constrain_batch=constrain_batch,
         augment=augment,
         compiler_options=compiler_options,
+        param_carry_dtype=param_carry_dtype,
     )
     return jitted
 
@@ -309,6 +353,7 @@ def make_train_epochs_fn(
     constrain_batch=None,
     augment=None,
     compiler_options: Optional[dict] = None,
+    param_carry_dtype=None,
 ):
     """Multi-epoch training program: E epochs in ONE dispatch.
 
@@ -329,6 +374,7 @@ def make_train_epochs_fn(
         pmean_axis=pmean_axis,
         constrain_batch=constrain_batch,
         augment=augment,
+        param_carry_dtype=param_carry_dtype,
     )
 
     def epochs_fn(state: TrainState, images, masks, idx, valid):

@@ -177,6 +177,13 @@ def train(
     if verbose:
         print(f"\nCreating UNet model... ({count_parameters(state.params):,} params)")
 
+    # bf16 training carries a bf16 param copy across scan iterations
+    # (engine.py param_carry_dtype): same forward values, ~4% faster on
+    # TPU; f32 (exact-parity) mode doesn't cast and gains nothing.
+    carry_dtype = _precision_dtype(precision)
+    if carry_dtype == jnp.float32:
+        carry_dtype = None
+
     results: dict = {"timestamp": timestamp}
     stage2_loss_cfg = LossConfig(
         pde_weight=pde_weight,
@@ -199,7 +206,9 @@ def train(
             print("STAGE I: BASELINE TRAINING (Unconstrained)")
             print("=" * 70)
             print("Objective: L = L_Dice + L_BCE")
-        train_fn = make_train_epoch_fn(model, eval_cfg_stage1)
+        train_fn = make_train_epoch_fn(
+            model, eval_cfg_stage1, param_carry_dtype=carry_dtype
+        )
         eval_fn = make_eval_epoch_fn(model, eval_cfg_stage1)
         _t_s1: dict = {}
         state, best1, best1_epoch, s1_metrics = train_stage(
@@ -264,7 +273,9 @@ def train(
             input_shape=input_shape,
             params=state.params,
         )
-        train_fn2 = make_train_epoch_fn(model, stage2_loss_cfg)
+        train_fn2 = make_train_epoch_fn(
+            model, stage2_loss_cfg, param_carry_dtype=carry_dtype
+        )
         eval_fn2 = make_eval_epoch_fn(model, stage2_loss_cfg)
         _t_s2: dict = {}
         state, best2, best2_epoch, s2_metrics = train_stage(
@@ -318,7 +329,9 @@ def train(
             print("SINGLE-STAGE TRAINING (PDE from start)")
             print("=" * 70)
         csv_path_single = output_dir / f"metrics_single_stage_{timestamp}{fraction_str}.csv"
-        train_fn = make_train_epoch_fn(model, stage2_loss_cfg)
+        train_fn = make_train_epoch_fn(
+            model, stage2_loss_cfg, param_carry_dtype=carry_dtype
+        )
         eval_fn = make_eval_epoch_fn(model, stage2_loss_cfg)
         _t_single: dict = {}
         state, best, best_epoch, s_metrics = train_stage(

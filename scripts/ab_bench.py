@@ -31,7 +31,11 @@ TIMED = 5
 
 
 def run_variant(
-    pool: str, flat: bool, opt: str = "adamw", upsample: str = "einsum6"
+    pool: str,
+    flat: bool,
+    opt: str = "adamw",
+    upsample: str = "einsum6",
+    carry: bool = False,
 ) -> float:
     import jax
     import jax.numpy as jnp
@@ -63,7 +67,8 @@ def run_variant(
     copts = os.environ.get("AB_COMPILER_OPTIONS")
     copts = _json.loads(copts) if copts else None
     epoch_fn = make_train_epoch_fn(
-        model, cfg, compute_metrics=True, compiler_options=copts
+        model, cfg, compute_metrics=True, compiler_options=copts,
+        param_carry_dtype=jnp.bfloat16 if carry else None,
     )
     state = create_train_state(
         model, jax.random.key(0), 1e-4,
@@ -83,7 +88,7 @@ def run_variant(
     dt = (time.perf_counter() - t0) / TIMED
     ips = data.n / dt
     print(
-        f"VARIANT pool={pool} flat={int(flat)} opt={opt} up={upsample}: "
+        f"VARIANT pool={pool} flat={int(flat)} opt={opt} up={upsample} carry={int(carry)}: "
         f"{ips:8.1f} img/s "
         f"({dt / (N_IMAGES // BATCH_SIZE) * 1e3:.3f} ms/step), loss={float(r['loss']):.4f}",
         flush=True,
@@ -92,7 +97,9 @@ def run_variant(
 
 
 
-def run_multi_epoch(pool: str = "fused", opt: str = "adamw") -> float:
+def run_multi_epoch(
+    pool: str = "fused", opt: str = "adamw", carry: bool = False
+) -> float:
     """Same workload, E epochs per dispatch (make_train_epochs_fn)."""
     import jax
     import jax.numpy as jnp
@@ -109,7 +116,12 @@ def run_multi_epoch(pool: str = "fused", opt: str = "adamw") -> float:
                  dtype=jnp.bfloat16, pool=pool)
     cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4,
                      diffusion_coeff=5.0, reaction_threshold=0.5, epsilon=0.05)
-    fn = make_train_epochs_fn(model, cfg, compute_metrics=True)
+    import jax.numpy as _jnp
+
+    fn = make_train_epochs_fn(
+        model, cfg, compute_metrics=True,
+        param_carry_dtype=_jnp.bfloat16 if carry else None,
+    )
     state = create_train_state(model, jax.random.key(0), 1e-4,
                                input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1),
                                optimizer=opt)
@@ -125,18 +137,19 @@ def run_multi_epoch(pool: str = "fused", opt: str = "adamw") -> float:
     _ = float(r["loss"][-1])
     dt = (time.perf_counter() - t0) / TIMED
     ips = N_IMAGES / dt
-    print(f"VARIANT multi-epoch pool={pool} opt={opt}: {ips:8.1f} img/s "
+    print(f"VARIANT multi-epoch pool={pool} opt={opt} carry={int(carry)}: {ips:8.1f} img/s "
           f"({dt / (N_IMAGES // BATCH_SIZE) * 1e3:.3f} ms/step)", flush=True)
     return ips
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 1 and sys.argv[1] == "multi":
+        run_multi_epoch(carry="carry" in sys.argv[2:])
+    elif len(sys.argv) > 2:
         run_variant(sys.argv[1], bool(int(sys.argv[2])),
                     sys.argv[3] if len(sys.argv) > 3 else "adamw",
-                    sys.argv[4] if len(sys.argv) > 4 else "einsum6")
-    elif len(sys.argv) > 1 and sys.argv[1] == "multi":
-        run_multi_epoch()
+                    sys.argv[4] if len(sys.argv) > 4 else "einsum6",
+                    len(sys.argv) > 5 and sys.argv[5] == "carry")
     else:
         run_variant("fused", False, "flat_adamw")
         run_variant("fused", False, "adamw")

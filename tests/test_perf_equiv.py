@@ -353,6 +353,55 @@ class TestPallasAdamW:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestParamCarryDtype:
+    """``param_carry_dtype=bf16`` (a bf16 param copy carried across scan
+    iterations, forward/backward run against it, f32 master updated from
+    ``convert(bf16_grad)``) must be BIT-identical to the default path for
+    a bf16-compute model — the default path computes exactly the same
+    values via the cast-in-forward and its VJP."""
+
+    @pytest.mark.parametrize("dropout", [0.0, 0.2])
+    def test_bit_identical_to_default(self, dropout):
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=dropout, dtype=jnp.bfloat16)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        final = {}
+        for carry in (None, jnp.bfloat16):
+            epoch_fn = make_train_epoch_fn(
+                model, cfg, compute_metrics=True, param_carry_dtype=carry
+            )
+            state = create_train_state(
+                model, jax.random.key(3), 1e-3, input_shape=(1, 32, 32, 1)
+            )
+            for _ in range(3):
+                state, r = epoch_fn(state, tr.images, tr.masks, idx, valid)
+            final[carry is None] = (state.params, r)
+
+        p_ref, r_ref = final[True]
+        p_c, r_c = final[False]
+        for k in r_ref:
+            assert float(r_ref[k]) == float(r_c[k]), k
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_c)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rejected_with_flat_storage(self):
+        tr = DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=0))
+        model = UNet(base_channels=4, dtype=jnp.bfloat16)
+        epoch_fn = make_train_epoch_fn(
+            model, LossConfig(), param_carry_dtype=jnp.bfloat16
+        )
+        state = create_train_state(
+            model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1), flat=True
+        )
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+        with pytest.raises(ValueError, match="flat param"):
+            epoch_fn(state, tr.images, tr.masks, idx, valid)
+
+
 class TestMultiEpochProgram:
     """make_train_epochs_fn (E epochs in one dispatch) must be
     bit-identical to E sequential make_train_epoch_fn dispatches."""
