@@ -258,6 +258,9 @@ def run_ablation_variant(
         )
 
     dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") else jnp.float32
+    # bf16 stages carry a bf16 param copy across scan steps (engine.py
+    # param_carry_dtype, ~4% faster); no-op gain in f32 parity mode.
+    carry_dtype = dtype if dtype != jnp.float32 else None
     model = UNet(
         in_channels=1,
         out_channels=1,
@@ -291,7 +294,7 @@ def run_ablation_variant(
             s1_epochs = stage1_epochs
         state, _, _, _ = train_stage(
             state,
-            make_train_epoch_fn(model, dicebce),
+            make_train_epoch_fn(model, dicebce, param_carry_dtype=carry_dtype),
             make_eval_epoch_fn(model, dicebce),
             train_data,
             val_data,
@@ -333,7 +336,7 @@ def run_ablation_variant(
             s2_epochs = stage1_epochs
         state, _, _, stage2_all_metrics = train_stage(
             state,
-            make_train_epoch_fn(model, loss_cfg),
+            make_train_epoch_fn(model, loss_cfg, param_carry_dtype=carry_dtype),
             make_eval_epoch_fn(model, loss_cfg),
             train_data,
             val_data,
@@ -400,7 +403,7 @@ def run_ablation_variant(
         print(f"Stage III will train for {actual_stage2_epochs} epochs (same as Stage II)")
         state, _, _, _ = train_stage(
             state,
-            make_train_epoch_fn(model, dicebce),
+            make_train_epoch_fn(model, dicebce, param_carry_dtype=carry_dtype),
             make_eval_epoch_fn(model, dicebce),
             train_data,
             val_data,

@@ -448,7 +448,12 @@ def run_batched_study(
     )
     state, _, _, _ = train_stage(
         state,
-        make_train_epoch_fn(model, dicebce),
+        make_train_epoch_fn(
+            model,
+            dicebce,
+            # bf16 param carry (engine.py), ~4% faster; None in f32 mode
+            param_carry_dtype=dtype if dtype != jnp.float32 else None,
+        ),
         make_eval_epoch_fn(model, dicebce),
         train_data,
         val_data,
