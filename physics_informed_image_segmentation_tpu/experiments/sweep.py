@@ -53,6 +53,7 @@ from ..train.checkpoint import save_params
 from ..train.csvlog import save_metrics_to_csv
 from ..train.engine import (
     EarlyStopping,
+    _cast_float_tree,
     create_train_state,
     make_eval_epoch_fn,
     make_train_epoch_fn,
@@ -126,6 +127,7 @@ def run_batched_sweep(
     shuffle_key: Optional[jax.Array] = None,
     seed: int = 42,
     member_seeds: Optional[np.ndarray] = None,
+    param_carry_dtype=None,
 ) -> Dict:
     """Train M grid members simultaneously from ``init_params``.
 
@@ -181,8 +183,17 @@ def run_batched_sweep(
     vimages, vmasks = val_data.images, val_data.masks
 
     def member_train_epoch(params, opt_state, dkey, step, sc, idx, valid):
+        # bf16 param carry across the batch scan (see engine.py
+        # _make_epoch_fns): recomputed each epoch AFTER the masked-ES
+        # freeze, so stopping semantics are untouched.
+        params_c0 = (
+            None
+            if param_carry_dtype is None
+            else _cast_float_tree(params, param_carry_dtype)
+        )
+
         def body(carry, batch):
-            params, opt_state, step = carry
+            params, params_c, opt_state, step = carry
             idx_b, valid_b = batch
             x = images[idx_b]
             y = masks[idx_b]
@@ -195,10 +206,19 @@ def run_batched_sweep(
                 return total, (pred, comps)
 
             (total, (pred, comps)), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                params
+                params if params_c is None else params_c
             )
+            if params_c is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: g.astype(p.dtype), grads, params
+                )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            params_c = (
+                None
+                if params_c is None
+                else _cast_float_tree(params, param_carry_dtype)
+            )
             p2, y2 = pred[..., 0], y[..., 0]
             v = valid_b
             out = {
@@ -209,10 +229,10 @@ def run_batched_sweep(
                 "bf1_sum": jnp.sum(M.boundary_f1_per_sample(p2, y2) * v),
                 "n": jnp.sum(v),
             }
-            return (params, opt_state, step + 1), out
+            return (params, params_c, opt_state, step + 1), out
 
-        (params, opt_state, step), scanned = jax.lax.scan(
-            body, (params, opt_state, step), (idx, valid)
+        (params, _, opt_state, step), scanned = jax.lax.scan(
+            body, (params, params_c0, opt_state, step), (idx, valid)
         )
         n = jnp.sum(scanned["n"])
         results = {
@@ -485,6 +505,7 @@ def run_batched_study(
         batch_size=batch_size,
         learning_rate=learning_rate,
         early_stopping_patience=early_stopping_patience,
+        param_carry_dtype=dtype if dtype != jnp.float32 else None,
         shuffle_key=jax.random.fold_in(shuffle_key, 2),
         seed=base.seed,
     )

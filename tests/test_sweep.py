@@ -50,6 +50,30 @@ class TestBatchedSweep:
         assert out["stop_epoch"].shape == (3,)
         assert np.isfinite(out["history"]["train_loss"]).all()
 
+    def test_param_carry_bit_identical(self):
+        """bf16 param carry in the batched sweep == default path, bitwise
+        (same argument as engine.py: the carried copy equals the values
+        the cast-in-forward produced)."""
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        va = DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=1))
+        model = UNet(base_channels=4, dropout=0.2, dtype=jnp.bfloat16)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+        outs = {}
+        for carry in (None, jnp.bfloat16):
+            outs[carry is None] = run_batched_sweep(
+                model, params, _scalars(3), tr, va,
+                num_epochs=3, batch_size=4, learning_rate=1e-3,
+                param_carry_dtype=carry,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs[True]["params"]),
+            jax.tree_util.tree_leaves(outs[False]["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            outs[True]["history"]["train_loss"], outs[False]["history"]["train_loss"]
+        )
+
     def test_members_diverge_with_different_scalars(self, setup):
         model, params, tr, va = setup
         sc = _scalars(2)
