@@ -102,6 +102,29 @@ def test_predict_cli(tmp_path, checkpoint):
     assert len(outs) == 3
 
 
+class TestPredictDevice:
+    def test_matches_predict(self, checkpoint):
+        import jax.numpy as jnp
+
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(8, 64, 64, seed=9)
+        host = p.predict(images)
+        dev = np.asarray(p.predict_device(jnp.asarray(images)))
+        np.testing.assert_allclose(dev, host, atol=1e-6)
+        # tta route agrees with the host tta route too
+        host_tta = p.predict(images, tta=True)
+        dev_tta = np.asarray(p.predict_device(jnp.asarray(images), tta=True))
+        np.testing.assert_allclose(dev_tta, host_tta, atol=1e-5)
+
+    def test_rejects_ragged_n(self, checkpoint):
+        import jax.numpy as jnp
+
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(6, 64, 64, seed=9)
+        with pytest.raises(ValueError, match="multiple of batch_size"):
+            p.predict_device(jnp.asarray(images))
+
+
 class TestTTA:
     def test_tta_prediction_shape_and_symmetry(self, checkpoint):
         p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
