@@ -53,7 +53,7 @@ from ..train.checkpoint import save_params
 from ..train.csvlog import save_metrics_to_csv
 from ..train.engine import (
     EarlyStopping,
-    _cast_float_tree,
+    cast_float_tree,
     create_train_state,
     make_eval_epoch_fn,
     make_train_epoch_fn,
@@ -189,7 +189,7 @@ def run_batched_sweep(
         params_c0 = (
             None
             if param_carry_dtype is None
-            else _cast_float_tree(params, param_carry_dtype)
+            else cast_float_tree(params, param_carry_dtype)
         )
 
         def body(carry, batch):
@@ -217,7 +217,7 @@ def run_batched_sweep(
             params_c = (
                 None
                 if params_c is None
-                else _cast_float_tree(params, param_carry_dtype)
+                else cast_float_tree(params, param_carry_dtype)
             )
             p2, y2 = pred[..., 0], y[..., 0]
             v = valid_b

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import UNet
-from .train.engine import _cast_float_tree
+from .train.engine import cast_float_tree
 
 __all__ = ["Predictor", "load_image_for_inference"]
 
@@ -100,7 +100,7 @@ class Predictor:
         # predict_device's scan, once per CHUNK — 82 MB of f32→bf16
         # traffic per iteration that XLA does not hoist).  Identical
         # values to the cast the forward would do itself.
-        self._run_params = _cast_float_tree(self.params, self.model.dtype)
+        self._run_params = cast_float_tree(self.params, self.model.dtype)
 
         self._forward = jax.jit(
             lambda p, x: self.model.apply(p, x, deterministic=True)

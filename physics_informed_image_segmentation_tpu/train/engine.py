@@ -43,6 +43,7 @@ from .objective import LossConfig, make_loss_and_components
 
 __all__ = [
     "TrainState",
+    "cast_float_tree",
     "create_train_state",
     "tree_params",
     "make_train_epoch_fn",
@@ -185,7 +186,7 @@ def _sample_mask(valid, pred_ndim):
     return valid.reshape(shape)
 
 
-def _cast_float_tree(tree, dtype):
+def cast_float_tree(tree, dtype):
     """Cast every floating leaf to ``dtype`` (non-float leaves pass through)."""
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
@@ -254,7 +255,7 @@ def _make_epoch_fns(
             new_params_c = (
                 None
                 if params_c is None
-                else _cast_float_tree(new_state.params, param_carry_dtype)
+                else cast_float_tree(new_state.params, param_carry_dtype)
             )
 
             out = {
@@ -276,7 +277,7 @@ def _make_epoch_fns(
                     "param_carry_dtype is not supported with flat param "
                     "storage (create_train_state(flat=True))"
                 )
-            params_c0 = _cast_float_tree(state.params, param_carry_dtype)
+            params_c0 = cast_float_tree(state.params, param_carry_dtype)
         (state, _), scanned = jax.lax.scan(body, (state, params_c0), (idx, valid))
         results = {
             k: jnp.mean(scanned[k])

@@ -37,7 +37,6 @@ def main() -> None:
     which = set(sys.argv[1:]) or {"plain", "tta"}
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from physics_informed_image_segmentation_tpu.data import make_blobs
     from physics_informed_image_segmentation_tpu.models import UNet
