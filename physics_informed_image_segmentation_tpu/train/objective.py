@@ -9,6 +9,13 @@ dataclass that is hashable, so jitted train steps specialise on it.
   * ``"jax"``    — pure-JAX stencils (:mod:`..ops.pde`), runs anywhere;
   * ``"pallas"`` — fused Pallas TPU kernel (:mod:`..ops.pallas_physics`);
   * ``"auto"``   — pallas on TPU, jax elsewhere.
+
+The fused kernel holds the whole per-image field in VMEM by design
+(that is where its fusion win comes from), so fields larger than
+``PALLAS_MAX_FIELD_PIXELS`` fall back to the XLA stencils at trace
+time — verified on v5e: 256² compiles and runs, 512² overflows the
+Mosaic compiler.  Megapixel fields belong to the spatially-sharded
+halo kernel (:mod:`..parallel.halo`), which is blockwise per shard.
 """
 
 from __future__ import annotations
@@ -19,7 +26,11 @@ import jax.numpy as jnp
 
 from ..ops import losses, pde
 
-__all__ = ["LossConfig", "make_loss_and_components"]
+__all__ = ["LossConfig", "make_loss_and_components", "PALLAS_MAX_FIELD_PIXELS"]
+
+# Largest H*W the whole-field-in-VMEM Pallas kernel is verified to
+# compile for on real hardware (scripts/megapixel_tpu.py probes).
+PALLAS_MAX_FIELD_PIXELS = 256 * 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +78,14 @@ def make_loss_and_components(cfg: LossConfig):
         from ..ops import pallas_physics
 
         def loss_fn(pred, target, mask=None):
+            h, w = (
+                (pred.shape[1], pred.shape[2])
+                if pred.ndim == 4
+                else pred.shape[-2:]
+            )
+            if h * w > PALLAS_MAX_FIELD_PIXELS:
+                # whole-field kernel would overflow VMEM — XLA stencils
+                return _jax_loss_fn(pred, target, mask)
             comps = pallas_physics.fused_loss_components(
                 pred,
                 target,
@@ -87,6 +106,9 @@ def make_loss_and_components(cfg: LossConfig):
             )
             return total, comps
 
+        _jax_loss_fn = make_loss_and_components(
+            dataclasses.replace(cfg, backend="jax")
+        )
         return loss_fn
 
     def loss_fn(pred, target, mask=None):

@@ -193,3 +193,61 @@ class TestSaturatedBCEGradients:
         assert np.isfinite(np.asarray(g)).all()
         # masked-out row contributes zero gradient
         np.testing.assert_array_equal(np.asarray(g)[1], np.zeros(2, np.float32))
+
+
+class TestPallasFieldSizeGuard:
+    """backend='pallas'/'auto' must fall back to the XLA stencils for
+    fields larger than PALLAS_MAX_FIELD_PIXELS (the whole-field-in-VMEM
+    kernel overflows the Mosaic compiler at 512^2 — verified on v5e,
+    scripts/megapixel_tpu.py)."""
+
+    def _fn_with_poisoned_pallas(self, monkeypatch):
+        from physics_informed_image_segmentation_tpu.ops import pallas_physics
+        from physics_informed_image_segmentation_tpu.train.objective import (
+            LossConfig,
+            make_loss_and_components,
+        )
+
+        def boom(*a, **k):
+            raise AssertionError("pallas kernel called")
+
+        monkeypatch.setattr(pallas_physics, "fused_loss_components", boom)
+        return make_loss_and_components(
+            LossConfig(pde_weight=1e-4, phase_field_weight=1e-4, backend="pallas")
+        )
+
+    def test_large_field_uses_jax_stencils(self, monkeypatch):
+        fn = self._fn_with_poisoned_pallas(monkeypatch)
+        p = jnp.full((1, 512, 512, 1), 0.3, jnp.float32)
+        t = jnp.zeros((1, 512, 512, 1), jnp.float32)
+        total, comps = fn(p, t)  # must NOT touch the poisoned kernel
+        assert np.isfinite(float(total))
+        assert float(comps["pde_loss"]) > 0
+
+    def test_small_field_uses_pallas(self, monkeypatch):
+        fn = self._fn_with_poisoned_pallas(monkeypatch)
+        p = jnp.full((1, 64, 64, 1), 0.3, jnp.float32)
+        t = jnp.zeros((1, 64, 64, 1), jnp.float32)
+        with pytest.raises(AssertionError, match="pallas kernel called"):
+            fn(p, t)
+
+    def test_fallback_matches_jax_backend(self):
+        from physics_informed_image_segmentation_tpu.train.objective import (
+            LossConfig,
+            make_loss_and_components,
+        )
+
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.uniform(0.05, 0.95, (1, 320, 320, 1)).astype(np.float32))
+        t = jnp.asarray((rng.uniform(size=(1, 320, 320, 1)) > 0.5).astype(np.float32))
+        f_pl = make_loss_and_components(
+            LossConfig(pde_weight=1e-4, phase_field_weight=1e-4, backend="pallas")
+        )
+        f_jx = make_loss_and_components(
+            LossConfig(pde_weight=1e-4, phase_field_weight=1e-4, backend="jax")
+        )
+        ta, ca = f_pl(p, t)
+        tb, cb = f_jx(p, t)
+        assert float(ta) == float(tb)
+        for k in ca:
+            assert float(ca[k]) == float(cb[k]), k
