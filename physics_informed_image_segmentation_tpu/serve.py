@@ -102,9 +102,12 @@ class Predictor:
         # values to the cast the forward would do itself.
         self._run_params = cast_float_tree(self.params, self.model.dtype)
 
-        self._forward = jax.jit(
-            lambda p, x: self.model.apply(p, x, deterministic=True)
-        )
+        # outputs are promised as float32 (docstrings below) even when
+        # the model computes in bf16
+        def _fwd(p, x):
+            return self.model.apply(p, x, deterministic=True).astype(jnp.float32)
+
+        self._forward = jax.jit(_fwd)
 
         def _tta_forward(p, x):
             # all 8 dihedral symmetries as ONE 8B-image batch: one
@@ -125,9 +128,7 @@ class Predictor:
             # predict_device call is a single dispatch (each extra
             # dispatch costs a full round trip on a remote-attached TPU)
             n = x.shape[0]
-            fwd = _tta_forward if tta else (
-                lambda q, c: self.model.apply(q, c, deterministic=True)
-            )
+            fwd = _tta_forward if tta else _fwd
             chunked = x.reshape((n // self.batch_size, self.batch_size) + x.shape[1:])
 
             def body(_, chunk):
