@@ -98,7 +98,8 @@ def run_variant(
 
 
 def run_multi_epoch(
-    pool: str = "fused", opt: str = "adamw", carry: bool = False
+    pool: str = "fused", opt: str = "adamw", carry: bool = False,
+    batch_size: int = BATCH_SIZE,
 ) -> float:
     """Same workload, E epochs per dispatch (make_train_epochs_fn)."""
     import jax
@@ -125,7 +126,7 @@ def run_multi_epoch(
     state = create_train_state(model, jax.random.key(0), 1e-4,
                                input_shape=(1, IMAGE_SIZE, IMAGE_SIZE, 1),
                                optimizer=opt)
-    plans = [epoch_batch_indices(data.n, BATCH_SIZE, shuffle=True,
+    plans = [epoch_batch_indices(data.n, batch_size, shuffle=True,
                                  key=jax.random.key(e)) for e in range(TIMED)]
     idx = jnp.stack([p[0] for p in plans])
     valid = jnp.stack([p[1] for p in plans])
@@ -137,14 +138,17 @@ def run_multi_epoch(
     _ = float(r["loss"][-1])
     dt = (time.perf_counter() - t0) / TIMED
     ips = N_IMAGES / dt
-    print(f"VARIANT multi-epoch pool={pool} opt={opt} carry={int(carry)}: {ips:8.1f} img/s "
-          f"({dt / (N_IMAGES // BATCH_SIZE) * 1e3:.3f} ms/step)", flush=True)
+    print(f"VARIANT multi-epoch pool={pool} opt={opt} carry={int(carry)} "
+          f"bs={batch_size}: {ips:8.1f} img/s "
+          f"({dt / (N_IMAGES // batch_size) * 1e3:.3f} ms/step)", flush=True)
     return ips
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "multi":
-        run_multi_epoch(carry="carry" in sys.argv[2:])
+        bs = [int(a[3:]) for a in sys.argv[2:] if a.startswith("bs=")]
+        run_multi_epoch(carry="carry" in sys.argv[2:],
+                        batch_size=bs[0] if bs else BATCH_SIZE)
     elif len(sys.argv) > 2:
         run_variant(sys.argv[1], bool(int(sys.argv[2])),
                     sys.argv[3] if len(sys.argv) > 3 else "adamw",
