@@ -187,9 +187,17 @@ def compute_boundary_f1(
     """
     p = jnp.asarray(predictions)
     t = jnp.asarray(targets)
-    # Index [0, 0] like the reference when there are batch/channel axes.
+    # Accept both layouts: drop a trailing singleton channel (this
+    # package's native (B, H, W, 1)), then index [0, 0] like the
+    # reference for leading batch/channel axes (torch's (B, 1, H, W)).
+    if p.ndim > 2 and p.shape[-1] == 1:
+        p = p[..., 0]
+    if t.ndim > 2 and t.shape[-1] == 1:
+        t = t[..., 0]
     while p.ndim > 2:
-        p, t = p[0], t[0]
+        p = p[0]
+    while t.ndim > 2:
+        t = t[0]
     score = boundary_f1_per_sample(
         p[None], t[None], threshold=threshold, tolerance=tolerance, smooth=smooth
     )[0]
@@ -204,6 +212,8 @@ def evaluate_on_test_set(
     batch_size: int = 8,
     threshold: float = 0.5,
     model_name: str = "Model",
+    *,
+    dtype: str = "f32",
 ) -> Dict[str, np.ndarray]:
     """Evaluate a model on a COCO test set — reference signature.
 
@@ -214,23 +224,30 @@ def evaluate_on_test_set(
 
     * a ``(module, params)`` or ``(apply_fn, params)`` pair,
     * a checkpoint path (msgpack or ``.pth``) — loaded via
-      :func:`..experiments.compare.load_unet_params`,
-    * an object with ``.apply`` and ``.params`` (e.g. ``serve.Predictor``).
+      :func:`..experiments.compare.load_unet_params` with keyword-only
+      ``dtype`` (default **f32**, matching the reference's eval
+      precision — bf16 eval noise can flip paired-test significance,
+      see PARITY_RUN.md),
+    * a :class:`.serve.Predictor`, or any object with ``.apply`` and
+      ``.params``.
 
     Returns the reference's dict of per-image metric arrays and prints
     the same report.
     """
     from .data import CocoSegmentationSource, DeviceDataset
+    from .serve import Predictor
     from .train.evaluation import evaluate_on_dataset
 
     if isinstance(model, (str, Path)):
         from .experiments.compare import load_unet_params
 
-        module, params = load_unet_params(model)
+        module, params = load_unet_params(model, dtype=dtype)
         apply_fn = module.apply
     elif isinstance(model, tuple) and len(model) == 2:
         module, params = model
         apply_fn = getattr(module, "apply", module)
+    elif isinstance(model, Predictor):
+        apply_fn, params = model.model.apply, model.params
     elif hasattr(model, "apply") and hasattr(model, "params"):
         apply_fn, params = model.apply, model.params
     else:

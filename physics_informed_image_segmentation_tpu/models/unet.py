@@ -133,9 +133,12 @@ class FastUpsample(nn.Module):
         xc = x.astype(self.dtype)
         b_, h, w, _ = x.shape
         if self.variant == "taps":
-            # one (B*H*W, C) x (C, F) matmul per output-pixel parity; the
-            # c-contraction of each output element is a single dot in both
-            # variants, so results are bit-identical to "einsum6".
+            # one (B*H*W, C) x (C, F) matmul per output-pixel parity.
+            # Numerically EQUIVALENT to "einsum6", not bit-identical:
+            # different dot blocking can round differently at ULP level
+            # (tests/test_perf_equiv.py::TestFastUpsampleVariants uses
+            # tolerance); the 0-ULP ConvTranspose-compatibility
+            # invariant holds for the DEFAULT variant only.
             y = [
                 jnp.einsum(
                     "bhwc,cf->bhwf", xc, k[i, j],

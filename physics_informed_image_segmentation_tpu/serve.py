@@ -95,13 +95,6 @@ class Predictor:
 
             self.params = load_params(path, template)
 
-        # run-time copy of the params in the model's compute dtype: the
-        # cast happens ONCE here instead of on every dispatch (and, in
-        # predict_device's scan, once per CHUNK — 82 MB of f32→bf16
-        # traffic per iteration that XLA does not hoist).  Identical
-        # values to the cast the forward would do itself.
-        self._run_params = cast_float_tree(self.params, self.model.dtype)
-
         # outputs are promised as float32 (docstrings below) even when
         # the model computes in bf16
         def _fwd(p, x):
@@ -115,9 +108,13 @@ class Predictor:
             b = x.shape[0]
             xs = jnp.concatenate([_d4_apply(x, c) for c in range(8)], axis=0)
             pred = self.model.apply(p, xs, deterministic=True)
-            acc = jnp.zeros_like(x, dtype=jnp.float32)
+            # accumulate in OUTPUT shape/f32 (out_channels may differ
+            # from in_channels)
+            acc = 0.0
             for c in range(8):
-                acc = acc + _d4_invert(pred[c * b : (c + 1) * b], c)
+                acc = acc + _d4_invert(
+                    pred[c * b : (c + 1) * b], c
+                ).astype(jnp.float32)
             return acc / 8.0
 
         self._forward_tta = jax.jit(_tta_forward)
@@ -139,6 +136,21 @@ class Predictor:
 
         self._forward_many = jax.jit(_forward_many, static_argnums=(2,))
 
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        # keep the run-time (compute-dtype) copy in sync so hot-swapping
+        # weights via `predictor.params = new_params` takes effect.  The
+        # cast happens ONCE here instead of on every dispatch (and, in
+        # predict_device's scan, once per CHUNK — 82 MB of f32→bf16
+        # traffic per iteration that XLA does not hoist); identical
+        # values to the cast the forward would do itself.
+        self._params = value
+        self._run_params = cast_float_tree(value, self.model.dtype)
+
     def predict_device(self, images, tta: bool = False):
         """Device-to-device batched inference: ONE dispatch, no host
         round trips — for pipelines whose images already live on device
@@ -154,6 +166,8 @@ class Predictor:
             x = x[..., None]
         if x.ndim != 4:
             raise ValueError(f"expected (N, H, W[, 1]) images, got {x.shape}")
+        if tta and x.shape[1] != x.shape[2]:
+            raise ValueError("tta requires square images")
         n = x.shape[0]
         if n % self.batch_size:
             raise ValueError(

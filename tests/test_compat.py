@@ -211,6 +211,22 @@ class TestSingleSampleBoundaryF1:
         score = pkg.compute_boundary_f1(jnp.asarray(m), jnp.asarray(m))
         assert float(score) > 0.99
 
+    def test_channels_last_layout_matches_nchw(self, rng):
+        # This package's native layout is (B, H, W, 1); the shim must
+        # score the same image as the torch-layout (B, 1, H, W) call,
+        # not silently strip batch+H and score a (W, 1) strip.
+        pred = np.zeros((2, 24, 24, 1), np.float32)
+        target = np.zeros((2, 24, 24, 1), np.float32)
+        pred[0, 6:18, 6:18, 0] = 1.0
+        target[0, 7:19, 7:19, 0] = 1.0
+        nhwc = pkg.compute_boundary_f1(jnp.asarray(pred), jnp.asarray(target))
+        nchw = pkg.compute_boundary_f1(
+            jnp.asarray(pred.transpose(0, 3, 1, 2)),
+            jnp.asarray(target.transpose(0, 3, 1, 2)),
+        )
+        np.testing.assert_allclose(float(nhwc), float(nchw), rtol=1e-6)
+        assert 0.0 < float(nhwc) <= 1.0
+
 
 class TestEvaluateOnTestSet:
     @pytest.fixture(scope="class")
@@ -247,3 +263,25 @@ class TestEvaluateOnTestSet:
         image_dir, ann = coco_dir
         with pytest.raises(TypeError):
             pkg.evaluate_on_test_set(42, image_dir, ann)
+
+    def test_accepts_predictor(self, coco_dir, small_model, tmp_path):
+        # the documented serve.Predictor form must actually work
+        from physics_informed_image_segmentation_tpu.serve import Predictor
+        from physics_informed_image_segmentation_tpu.train.checkpoint import (
+            save_params,
+        )
+
+        image_dir, ann = coco_dir
+        model, params = small_model
+        ckpt = save_params(params, tmp_path / "compat_pred.msgpack")
+        p = Predictor(
+            ckpt, model=model, batch_size=4, image_size=(96, 112),
+            precision="f32", base_channels=4,
+        )
+        metrics = pkg.evaluate_on_test_set(p, image_dir, ann, batch_size=4)
+        direct = pkg.evaluate_on_test_set(
+            small_model, image_dir, ann, batch_size=4
+        )
+        np.testing.assert_allclose(
+            metrics["dice_scores"], direct["dice_scores"], rtol=1e-6
+        )

@@ -124,6 +124,23 @@ class TestPredictDevice:
         with pytest.raises(ValueError, match="multiple of batch_size"):
             p.predict_device(jnp.asarray(images))
 
+    def test_tta_rejects_non_square(self, checkpoint):
+        import jax.numpy as jnp
+
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        with pytest.raises(ValueError, match="square"):
+            p.predict_device(jnp.zeros((4, 32, 64, 1), jnp.float32), tta=True)
+
+    def test_params_hot_swap_takes_effect(self, checkpoint):
+        # assigning predictor.params must change what predict() serves
+        p = Predictor(checkpoint, batch_size=4, image_size=(64, 64), precision="f32")
+        images, _ = make_blobs(4, 64, 64, seed=11)
+        before = p.predict(images)
+        p.params = jax.tree_util.tree_map(lambda a: a * 0.0, p.params)
+        after = p.predict(images)
+        assert not np.allclose(before, after)
+        np.testing.assert_allclose(after, 0.5, atol=1e-6)  # zero weights -> sigmoid(0)
+
 
 class TestTTA:
     def test_tta_prediction_shape_and_symmetry(self, checkpoint):
