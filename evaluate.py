@@ -5,6 +5,10 @@ Usage:
                        --pde models/unet_pde_regularized.msgpack
     python evaluate.py --baseline 'out/*baseline*.msgpack' \
                        --pde 'out/*pde*.msgpack' --repeated
+
+Provenance: flag names, defaults and help strings mirror the reference
+CLI (/root/reference/evaluate.py:17-69) verbatim as the interface
+contract; the body dispatches to this framework's own comparison code.
 """
 
 import argparse

@@ -3,6 +3,11 @@
 Usage: python main.py [--single-stage] [--pde-weight 1e-4] ...
 TPU-build extras: --data-root, --precision, --physics-backend, --no-plots.
 
+Provenance: flag names, defaults and help strings mirror the reference
+CLI (/root/reference/main.py:6-86) verbatim — they ARE the interface
+contract this entry point promises; the body dispatches to this
+framework's own `train()`.
+
 NOTE on --early-stopping-patience: the reference CLI defaults to 5 while
 its help text and train() signature say 10 (/root/reference/main.py:71-72
 vs src/train.py:542).  We keep the CLI default of 5 for behavioural

@@ -21,6 +21,7 @@ unchanged.
 
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -229,7 +230,10 @@ def evaluate_on_test_set(
       precision — bf16 eval noise can flip paired-test significance,
       see PARITY_RUN.md),
     * a :class:`.serve.Predictor`, or any object with ``.apply`` and
-      ``.params``.
+      ``.params`` — these routes evaluate in whatever compute dtype the
+      model object was built with (``dtype`` only applies to the
+      checkpoint path); a bf16 Predictor passed while ``dtype='f32'``
+      triggers a warning rather than a silent precision downgrade.
 
     Returns the reference's dict of per-image metric arrays and prints
     the same report.
@@ -247,6 +251,16 @@ def evaluate_on_test_set(
         module, params = model
         apply_fn = getattr(module, "apply", module)
     elif isinstance(model, Predictor):
+        model_dtype = getattr(model.model, "dtype", None)
+        if dtype == "f32" and model_dtype not in (None, jnp.float32):
+            warnings.warn(
+                f"evaluate_on_test_set(dtype='f32') received a Predictor whose "
+                f"model computes in {jnp.dtype(model_dtype).name}; evaluation "
+                "runs in the Predictor's dtype (bf16 eval noise can flip "
+                "paired-test significance — rebuild the Predictor with "
+                "precision='f32' or pass the checkpoint path instead)",
+                stacklevel=2,
+            )
         apply_fn, params = model.model.apply, model.params
     elif hasattr(model, "apply") and hasattr(model, "params"):
         apply_fn, params = model.apply, model.params

@@ -121,6 +121,11 @@ class FastUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.variant not in ("einsum6", "taps"):
+            raise ValueError(
+                f"Unsupported FastUpsample variant: {self.variant!r}. "
+                "Must be 'einsum6' or 'taps'"
+            )
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",

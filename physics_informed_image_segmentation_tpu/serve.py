@@ -160,6 +160,12 @@ class Predictor:
         multiple of ``batch_size``; returns an (N, H, W, 1) float
         probability DEVICE array (fetch with ``np.asarray`` when
         needed).
+
+        ``tta=True`` runs all 8 dihedral symmetries as one
+        ``8*batch_size``-image dispatch: ~8× the peak activation memory
+        of the plain path.  With a large ``batch_size`` (e.g. 128) size
+        the Predictor accordingly (a ``batch_size`` of 16 with tta uses
+        the same activation memory as 128 without).
         """
         x = jnp.asarray(images)
         if x.ndim == 3:
@@ -208,7 +214,10 @@ class Predictor:
         ``tta=True`` averages predictions over the 8 dihedral (flip/
         rot90) symmetries — exact for segmentation (no interpolation),
         typically a small Dice gain for one extra compile + 8× compute.
-        Requires square inputs.
+        Requires square inputs.  The 8 symmetries run as ONE
+        ``8*batch_size``-image batch, so peak activation memory is ~8×
+        the plain path — use a smaller ``batch_size`` if a large one
+        OOMs with tta.
         """
         x = np.asarray(images, np.float32)
         if x.ndim == 3:

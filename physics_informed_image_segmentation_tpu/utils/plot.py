@@ -50,6 +50,7 @@ def _finish(fig, output_path: Path, show_plot: bool, what: str) -> None:
 def _line_panel(ax, df, series: Sequence[tuple[str, str, dict]], title: str, ylabel: str):
     """Plot a list of (column, label, style kwargs) from df on ax."""
     for col, label, style in series:
+        style = dict(style)  # never mutate a caller's (possibly shared) dict
         if col in df and (not style.pop("skip_if_zero", False) or df[col].sum() > 0):
             ax.plot(df["epoch"], df[col], label=label, linewidth=2, **style)
     ax.set_xlabel("Epoch", fontsize=11)

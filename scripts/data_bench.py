@@ -15,6 +15,7 @@ not representative of a real host-attached chip.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -46,9 +47,12 @@ def main() -> None:
     )
 
     root = Path("/tmp/data_bench")
-    if (root / "images").exists():
-        img_dir, ann = root / "images", root / "annotations.json"
-    else:
+    img_dir, ann = root / "images", root / "annotations.json"
+    # regenerate when the cache is missing OR was written with a
+    # different N (a stale cache must not crash the benchmark)
+    if not (img_dir.exists() and ann.exists()
+            and len(list(img_dir.glob("*.png"))) == N):
+        shutil.rmtree(root, ignore_errors=True)
         img_dir, ann = write_synthetic_coco(root, n=N)
 
     for backend in ("pil", "native"):
