@@ -117,6 +117,10 @@ def create_train_state(
     (only sub-1.4M-element leaves flattened into one fused update;
     also measured slower, 1265 vs 1355 — see docs/DESIGN.md §7), or
     "pallas_adamw" (bucketed multi-ref kernel; 1323 vs 1370).
+    "bf16m_adamw" / "bf16mv_adamw" store the first / both AdamW moments
+    in bfloat16 (f32 compute) — NON-parity approximations that cut
+    optimizer HBM traffic by 25% / 50%; see
+    ``optim.low_precision_adamw`` for the precision analysis.
 
     ``flat=True`` additionally stores params as one flat f32 vector with
     ``apply_fn`` unravelling on the fly.  Measured SLOWER on TPU (the
@@ -140,12 +144,27 @@ def create_train_state(
         from .pallas_optim import pallas_adamw
 
         tx = pallas_adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    elif optimizer == "bf16m_adamw":
+        from .optim import low_precision_adamw
+
+        tx = low_precision_adamw(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        )
+    elif optimizer == "bf16mv_adamw":
+        from .optim import low_precision_adamw
+
+        tx = low_precision_adamw(
+            learning_rate=learning_rate,
+            weight_decay=weight_decay,
+            v_dtype=jnp.bfloat16,
+        )
     elif optimizer == "adamw":
         tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
     else:
         raise ValueError(
             f"unknown optimizer {optimizer!r}; expected 'adamw', "
-            "'flat_adamw', 'grouped_adamw' or 'pallas_adamw'"
+            "'flat_adamw', 'grouped_adamw', 'pallas_adamw', "
+            "'bf16m_adamw' or 'bf16mv_adamw'"
         )
     apply_fn, unravel = model.apply, None
     if flat:

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 import optax
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["flat_adamw", "FlatAdamWState", "grouped_adamw", "GroupedAdamWState"]
+__all__ = [
+    "flat_adamw",
+    "FlatAdamWState",
+    "grouped_adamw",
+    "GroupedAdamWState",
+    "low_precision_adamw",
+    "LowPrecisionAdamWState",
+]
 
 
 class FlatAdamWState(NamedTuple):
@@ -76,6 +83,77 @@ def flat_adamw(
             lambda ul, p: -learning_rate * (ul + weight_decay * p), u_tree, params
         )
         return updates, FlatAdamWState(count=count, m=m, v=v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class LowPrecisionAdamWState(NamedTuple):
+    count: jax.Array  # int32 step counter
+    m: Any  # first-moment pytree in ``m_dtype``
+    v: Any  # second-moment pytree in ``v_dtype``
+
+
+def low_precision_adamw(
+    learning_rate: float,
+    weight_decay: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    m_dtype=jnp.bfloat16,
+    v_dtype=jnp.float32,
+) -> optax.GradientTransformation:
+    """AdamW with reduced-precision moment STORAGE (compute stays f32).
+
+    The optimizer pass is pure HBM traffic (read m/v/params/grads,
+    write m/v/params); storing a moment in bf16 halves its share.  This
+    is a NON-parity option: the per-step round-trip quantises the
+    moments, so trajectories drift from ``optax.adamw`` (unlike the
+    bf16 *param carry*, which is bit-identical).
+
+    Dtype guidance (why the default is m-only):
+
+    * ``m`` in bf16 is benign — b1=0.9 moves m by ~10%/step, far above
+      bf16's ~0.4% resolution, so the EMA tracks faithfully.
+    * ``v`` in bf16 is NOT: with b2=0.999 both the decay (0.1%) and the
+      increment (~0.1% of v in steady state) sit BELOW one bf16 ulp, so
+      a stored-rounded v can absorb neither and sticks at a stale
+      scale.  ``v_dtype=jnp.bfloat16`` is accepted for measurement but
+      convergence-test before trusting it (see DESIGN.md §7).
+    """
+
+    def init_fn(params):
+        return LowPrecisionAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            m=jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, m_dtype), params
+            ),
+            v=jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, v_dtype), params
+            ),
+        )
+
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("low_precision_adamw requires params (weight decay)")
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def leaf(g, m, v, p):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
+            u = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            upd = -learning_rate * (u + weight_decay * p)
+            return upd, m32.astype(m_dtype), v32.astype(v_dtype)
+
+        out = jax.tree_util.tree_map(leaf, grads, state.m, state.v, params)
+        treedef = jax.tree_util.tree_structure(grads)
+        leaves = treedef.flatten_up_to(out)
+        updates = jax.tree_util.tree_unflatten(treedef, [x[0] for x in leaves])
+        new_m = jax.tree_util.tree_unflatten(treedef, [x[1] for x in leaves])
+        new_v = jax.tree_util.tree_unflatten(treedef, [x[2] for x in leaves])
+        return updates, LowPrecisionAdamWState(count=count, m=new_m, v=new_v)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

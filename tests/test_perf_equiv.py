@@ -212,6 +212,104 @@ class TestFlatAdamW:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestLowPrecisionAdamW:
+    """low_precision_adamw: f32 storage must be bit-identical to
+    optax.adamw; bf16 moment storage must track it closely (documented
+    NON-parity approximation) with the promised storage dtypes."""
+
+    def _tree(self, rng):
+        params = {
+            "a": jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32)),
+            "b": {"w": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))},
+        }
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                0.1 * rng.normal(size=p.shape).astype(np.float32)
+            ),
+            params,
+        )
+        return params, grads
+
+    def _run(self, tx, params, grads, steps=10):
+        import optax
+
+        s = tx.init(params)
+        p = params
+        for _ in range(steps):
+            u, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    def test_f32_storage_bit_identical_to_optax(self, rng):
+        import optax
+
+        from physics_informed_image_segmentation_tpu.train.optim import (
+            low_precision_adamw,
+        )
+
+        params, grads = self._tree(rng)
+        p1, _ = self._run(optax.adamw(3e-4, weight_decay=1e-5), params, grads)
+        p2, _ = self._run(
+            low_precision_adamw(
+                3e-4, weight_decay=1e-5, m_dtype=jnp.float32, v_dtype=jnp.float32
+            ),
+            params,
+            grads,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_m_tracks_optax_and_dtypes(self, rng):
+        import optax
+
+        from physics_informed_image_segmentation_tpu.train.optim import (
+            low_precision_adamw,
+        )
+
+        params, grads = self._tree(rng)
+        p1, _ = self._run(optax.adamw(3e-4, weight_decay=1e-5), params, grads)
+        p2, s2 = self._run(
+            low_precision_adamw(3e-4, weight_decay=1e-5), params, grads
+        )
+        for m_leaf in jax.tree_util.tree_leaves(s2.m):
+            assert m_leaf.dtype == jnp.bfloat16
+        for v_leaf in jax.tree_util.tree_leaves(s2.v):
+            assert v_leaf.dtype == jnp.float32
+        # 10 steps of ~lr-sized updates: bf16 m quantisation (~0.4%)
+        # perturbs each step's update by <<1% of its magnitude
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=5e-5
+            )
+
+    def test_train_state_variants_train_without_nan(self):
+        tr = DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0))
+        model = UNet(base_channels=4, dropout=0.2)
+        cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4)
+        epoch_fn = make_train_epoch_fn(model, cfg, compute_metrics=False)
+        idx, valid = epoch_batch_indices(tr.n, 4, shuffle=False)
+
+        ref_loss = None
+        for name in ("adamw", "bf16m_adamw", "bf16mv_adamw"):
+            state = create_train_state(
+                model, jax.random.key(7), 1e-3, input_shape=(1, 32, 32, 1),
+                optimizer=name,
+            )
+            for _ in range(3):
+                state, r = epoch_fn(state, tr.images, tr.masks, idx, valid)
+            loss = float(r["loss"])
+            assert np.isfinite(loss)
+            if ref_loss is None:
+                ref_loss = loss
+            else:
+                # approximations must land within 2% of the exact loss
+                assert abs(loss - ref_loss) / abs(ref_loss) < 0.02
+
+
 class TestGroupedAdamW:
     """grouped_adamw (small leaves flattened into ONE fused update, big
     leaves native) must be bit-identical to optax.adamw.  (On TPU it
