@@ -211,9 +211,15 @@ def run_repeated_evaluations(
     output_dir=None,
     test_data: Optional[DeviceDataset] = None,
     base_channels: int = 64,
+    dtype: str = "bf16",
 ) -> Dict:
     """Pool per-image metrics across N seed-paired checkpoint pairs, then
-    compare (/root/reference/src/evaluate_comparison.py:230-396)."""
+    compare (/root/reference/src/evaluate_comparison.py:230-396).
+
+    ``dtype`` sets the eval compute precision ("bf16" default; pass
+    "f32" for reference-matching paired-test sensitivity — bf16 eval
+    noise can flip significance on small effects, see PARITY_RUN.md).
+    """
     output_dir = Path(output_dir) if output_dir is not None else Path.cwd() / "output"
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -232,7 +238,7 @@ def run_repeated_evaluations(
         zip(baseline_model_paths, pde_model_paths)
     ):
         print(f"\n{'=' * 70}\nRun {run_idx + 1}/{len(baseline_model_paths)}\n{'=' * 70}")
-        model, b_params = load_unet_params(b_path, model, base_channels)
+        model, b_params = load_unet_params(b_path, model, base_channels, dtype)
         _, p_params = load_unet_params(p_path, model)
         bm = evaluate_model(model.apply, b_params, test_data, batch_size, threshold=threshold)
         pm = evaluate_model(model.apply, p_params, test_data, batch_size, threshold=threshold)

@@ -16,6 +16,18 @@ Usage (each step is resumable / independently re-runnable):
     python scripts/parity_run.py ours         # train + evaluate this framework
     python scripts/parity_run.py report       # assemble PARITY_RUN.md
 
+Round-3 additions (VERDICT r2 item 7): a parameterised "tagged" mode
+runs the same experiment at a different budget/dataset without
+touching the round-2 artifacts — e.g. the CONTRACT-BUDGET run at the
+reference's default <=50+50 early-stopped epochs
+(/root/reference/src/train.py:531-544):
+
+    python scripts/parity_run.py data      --tag contract --train-n 150 --val-n 40 --test-n 40
+    python scripts/parity_run.py reference --tag contract --stage1-epochs 50 --stage2-epochs 50
+    python scripts/parity_run.py ours      --tag contract --stage1-epochs 50 --stage2-epochs 50
+    python scripts/parity_run.py report    --tag contract --stage1-epochs 50 --stage2-epochs 50
+    # report --tag X appends a section to PARITY_RUN.md
+
 The reference is executed from a copy under /tmp (its train() hardcodes
 data/output paths relative to its own tree, which is mounted read-only)
 — black-box execution only, nothing is copied into this repo.
@@ -23,6 +35,7 @@ data/output paths relative to its own tree, which is mounted read-only)
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -33,13 +46,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
-DATA_ROOT = Path("/tmp/parity_data")
-REF_RUN = Path("/tmp/refrun")
-ART = REPO / "artifacts" / "parity"
 
-# Identical hyperparameters for both sides (reference defaults except
-# the epoch budget, which is scaled to the CPU-feasible dataset).
-HP = dict(
+# Round-2 defaults: reference defaults except the epoch budget, which
+# was scaled to the CPU-feasible dataset.
+DEFAULT_HP = dict(
     stage1_epochs=12,
     stage2_epochs=12,
     early_stopping_patience=5,
@@ -53,10 +63,28 @@ HP = dict(
     seed=42,
 )
 
-SPLITS = {"training": 200, "validation": 50, "testing": 50}
+
+class Cfg:
+    def __init__(self, args):
+        self.tag = args.tag
+        suffix = f"_{args.tag}" if args.tag else ""
+        self.data_root = Path(f"/tmp/parity_data{suffix}")
+        self.ref_run = Path(f"/tmp/refrun{suffix}")
+        self.art = REPO / "artifacts" / f"parity{suffix}"
+        self.hp = dict(DEFAULT_HP)
+        for k in ("stage1_epochs", "stage2_epochs", "early_stopping_patience",
+                  "seed"):
+            v = getattr(args, k)
+            if v is not None:
+                self.hp[k] = v
+        self.splits = {
+            "training": args.train_n,
+            "validation": args.val_n,
+            "testing": args.test_n,
+        }
 
 
-def make_data() -> None:
+def make_data(cfg: Cfg) -> None:
     """Reference directory layout, 128x128 cell-like images.
 
     Harder than the unit-test fixtures (variable cell intensity close
@@ -65,14 +93,14 @@ def make_data() -> None:
     """
     from physics_informed_image_segmentation_tpu.data import write_synthetic_coco
 
-    if DATA_ROOT.exists():
-        shutil.rmtree(DATA_ROOT)
-    img = DATA_ROOT / "images"
+    if cfg.data_root.exists():
+        shutil.rmtree(cfg.data_root)
+    img = cfg.data_root / "images"
     ann = img / "annotation"
     ann.mkdir(parents=True)
-    for split, n in SPLITS.items():
+    for split, n in cfg.splits.items():
         image_dir, ann_path = write_synthetic_coco(
-            DATA_ROOT / f"_stage_{split}",
+            cfg.data_root / f"_stage_{split}",
             n=n,
             height=128,
             width=128,
@@ -86,45 +114,47 @@ def make_data() -> None:
         for f in image_dir.iterdir():
             shutil.copy2(f, img / split / f.name)
         shutil.copy2(ann_path, ann / f"{split}_annotation.json")
-        shutil.rmtree(DATA_ROOT / f"_stage_{split}")
-    print(f"dataset at {DATA_ROOT}: " + ", ".join(f"{k}={v}" for k, v in SPLITS.items()))
+        shutil.rmtree(cfg.data_root / f"_stage_{split}")
+    print(f"dataset at {cfg.data_root}: "
+          + ", ".join(f"{k}={v}" for k, v in cfg.splits.items()))
 
 
-def _link_data(base: Path) -> None:
+def _link_data(cfg: Cfg, base: Path) -> None:
     target = base / "images"
     if target.is_symlink() or target.exists():
         if target.is_symlink():
             target.unlink()
         else:
             shutil.rmtree(target)
-    target.symlink_to(DATA_ROOT / "images")
+    target.symlink_to(cfg.data_root / "images")
 
 
-def run_reference() -> None:
+def run_reference(cfg: Cfg) -> None:
     """Train + evaluate the reference from a writable /tmp copy."""
-    if REF_RUN.exists():
-        shutil.rmtree(REF_RUN)
-    shutil.copytree("/root/reference", REF_RUN)
-    _link_data(REF_RUN)
+    if cfg.ref_run.exists():
+        shutil.rmtree(cfg.ref_run)
+    shutil.copytree("/root/reference", cfg.ref_run)
+    _link_data(cfg, cfg.ref_run)
     env = dict(os.environ)
-    env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1")
+    env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
 
+    hp = cfg.hp
     train_args = [
         sys.executable, "main.py",
-        "--stage1-epochs", str(HP["stage1_epochs"]),
-        "--stage2-epochs", str(HP["stage2_epochs"]),
-        "--early-stopping-patience", str(HP["early_stopping_patience"]),
-        "--batch-size", str(HP["batch_size"]),
-        "--learning-rate", str(HP["learning_rate"]),
-        "--pde-weight", str(HP["pde_weight"]),
-        "--diffusion-coeff", str(HP["diffusion_coeff"]),
-        "--reaction-threshold", str(HP["reaction_threshold"]),
-        "--phase-field-weight", str(HP["phase_field_weight"]),
-        "--epsilon", str(HP["epsilon"]),
-        "--seed", str(HP["seed"]),
+        "--stage1-epochs", str(hp["stage1_epochs"]),
+        "--stage2-epochs", str(hp["stage2_epochs"]),
+        "--early-stopping-patience", str(hp["early_stopping_patience"]),
+        "--batch-size", str(hp["batch_size"]),
+        "--learning-rate", str(hp["learning_rate"]),
+        "--pde-weight", str(hp["pde_weight"]),
+        "--diffusion-coeff", str(hp["diffusion_coeff"]),
+        "--reaction-threshold", str(hp["reaction_threshold"]),
+        "--phase-field-weight", str(hp["phase_field_weight"]),
+        "--epsilon", str(hp["epsilon"]),
+        "--seed", str(hp["seed"]),
     ]
     print("reference train:", " ".join(train_args), flush=True)
-    subprocess.run(train_args, cwd=REF_RUN, env=env, check=True)
+    subprocess.run(train_args, cwd=cfg.ref_run, env=env, check=True)
 
     eval_args = [
         sys.executable, "evaluate.py",
@@ -132,34 +162,33 @@ def run_reference() -> None:
         "--pde", "models/unet_pde_regularized.pth",
     ]
     print("reference evaluate:", " ".join(eval_args), flush=True)
-    subprocess.run(eval_args, cwd=REF_RUN, env=env, check=True)
+    subprocess.run(eval_args, cwd=cfg.ref_run, env=env, check=True)
 
-    out = ART / "reference"
+    out = cfg.art / "reference"
     out.mkdir(parents=True, exist_ok=True)
     for pat in ("output/*.csv", "output/*.json"):
-        for f in REF_RUN.glob(pat):
+        for f in cfg.ref_run.glob(pat):
             shutil.copy2(f, out / f.name)
-    for f in (REF_RUN / "models").glob("*.pth"):
+    for f in (cfg.ref_run / "models").glob("*.pth"):
         shutil.copy2(f, out / f.name)
     print(f"reference artifacts -> {out}")
 
 
-def run_ours() -> None:
+def run_ours(cfg: Cfg) -> None:
     """Train + evaluate this framework on the identical dataset/HPs."""
-    sys.path.insert(0, str(REPO))
     from physics_informed_image_segmentation_tpu.train import train
 
-    out = ART / "ours"
+    out = cfg.art / "ours"
     out.mkdir(parents=True, exist_ok=True)
     train(
         use_two_stage=True,
-        data_root=DATA_ROOT,
+        data_root=cfg.data_root,
         output_dir=out / "output",
         models_dir=out / "models",
         make_plots=True,
         precision="f32",  # the reference trains in f32 — match it for
         # the quality-parity claim (bf16 is the throughput path)
-        **HP,
+        **cfg.hp,
     )
 
     # Reference-style statistical comparison of the two artifacts.
@@ -170,8 +199,8 @@ def run_ours() -> None:
     evaluate_and_compare(
         out / "models" / "unet_baseline.msgpack",
         out / "models" / "unet_pde_regularized.msgpack",
-        DATA_ROOT / "images" / "testing",
-        DATA_ROOT / "images" / "annotation" / "testing_annotation.json",
+        cfg.data_root / "images" / "testing",
+        cfg.data_root / "images" / "annotation" / "testing_annotation.json",
         output_dir=out / "output",
         dtype="f32",  # the reference evaluates in f32
     )
@@ -186,17 +215,85 @@ def _load_comparison(d: Path) -> dict:
         return json.load(f)
 
 
-def report() -> None:
-    ref = _load_comparison(ART / "reference")
-    ours = _load_comparison(ART / "ours")
+KEYS = ["dice_scores", "iou_scores", "boundary_f1_scores", "hausdorff_distances"]
+NAMES = ["Dice", "IoU", "Boundary-F1", "Hausdorff"]
+
+
+def _metric_tables(ref: dict, ours: dict) -> list:
+    lines = [
+        "| metric | ref baseline | ref PDE | ours baseline | ours PDE |",
+        "|---|---|---|---|---|",
+    ]
+
+    def _row(d, key, which):
+        r = d.get(key) or d.get(key.replace("_scores", "")) or {}
+        return r.get(f"{which}_mean", float("nan"))
+
+    comp_ref = ref.get("comparison_results", ref)
+    comp_ours = ours.get("comparison_results", ours)
+    for key, name in zip(KEYS, NAMES):
+        rb = _row(comp_ref, key, "baseline")
+        rp = _row(comp_ref, key, "pde")
+        ob = _row(comp_ours, key, "baseline")
+        op = _row(comp_ours, key, "pde")
+        lines.append(f"| {name} | {rb:.4f} | {rp:.4f} | {ob:.4f} | {op:.4f} |")
+
+    lines += ["", "| metric | ref t-p | ref W-p | ref sig | ours t-p | ours W-p | ours sig |"]
+    lines.append("|---|---|---|---|---|---|---|")
+    for key, name in zip(KEYS, NAMES):
+        r = comp_ref.get(key, {})
+        o = comp_ours.get(key, {})
+        lines.append(
+            f"| {name} | {r.get('t_pvalue', float('nan')):.4f} | "
+            f"{r.get('wilcoxon_pvalue', float('nan')):.4f} | {r.get('significant')} | "
+            f"{o.get('t_pvalue', float('nan')):.4f} | "
+            f"{o.get('wilcoxon_pvalue', float('nan')):.4f} | {o.get('significant')} |"
+        )
+    return lines
+
+
+def report(cfg: Cfg) -> None:
+    ref = _load_comparison(cfg.art / "reference")
+    ours = _load_comparison(cfg.art / "ours")
+
+    if cfg.tag:
+        # append a tagged section to the round-2 report
+        lines = [
+            "",
+            f"## Tagged run: `{cfg.tag}` "
+            + (f"(contract budget: <= {cfg.hp['stage1_epochs']}+"
+               f"{cfg.hp['stage2_epochs']} epochs, early-stopped, "
+               f"patience {cfg.hp['early_stopping_patience']})"
+               if cfg.tag == "contract" else ""),
+            "",
+            "Same protocol as above, with "
+            + ", ".join(f"{k}={v}" for k, v in cfg.hp.items())
+            + f" on {cfg.splits['training']} train / {cfg.splits['validation']}"
+            f" val / {cfg.splits['testing']} test images "
+            f"(`scripts/parity_run.py --tag {cfg.tag}`).",
+            "",
+        ] + _metric_tables(ref, ours) + [
+            "",
+            f"Raw artifacts: `artifacts/parity_{cfg.tag}/`.",
+            "",
+        ]
+        path = REPO / "PARITY_RUN.md"
+        existing = path.read_text()
+        marker = f"## Tagged run: `{cfg.tag}`"
+        if marker in existing:
+            existing = existing[: existing.index(marker)].rstrip() + "\n"
+        path.write_text(existing + "\n".join(lines))
+        print("\n".join(lines))
+        return
+
     lines = [
         "# PARITY_RUN — from-scratch training parity vs the reference",
         "",
         "Both frameworks trained the full two-stage pipeline from scratch on the",
-        f"same on-disk synthetic cell dataset ({SPLITS['training']} train / "
-        f"{SPLITS['validation']} val / {SPLITS['testing']} test, 128x128, 1-6",
+        f"same on-disk synthetic cell dataset ({cfg.splits['training']} train / "
+        f"{cfg.splits['validation']} val / {cfg.splits['testing']} test, 128x128, 1-6",
         "variable-intensity blurred cells per image) with identical",
-        "hyperparameters: " + ", ".join(f"{k}={v}" for k, v in HP.items()) + ".",
+        "hyperparameters: " + ", ".join(f"{k}={v}" for k, v in cfg.hp.items()) + ".",
         "",
         "- reference: PyTorch CPU, executed black-box from a /tmp copy",
         "  (`scripts/parity_run.py reference`), its own `main.py` + `evaluate.py`.",
@@ -210,39 +307,7 @@ def report() -> None:
         "",
         "## Test-set results (baseline model vs PDE model, per framework)",
         "",
-        "| metric | ref baseline | ref PDE | ours baseline | ours PDE |",
-        "|---|---|---|---|---|",
-    ]
-
-    def _row(d, key, which):
-        r = d.get(key) or d.get(key.replace("_scores", "")) or {}
-        return r.get(f"{which}_mean", float("nan"))
-
-    keys = ["dice_scores", "iou_scores", "boundary_f1_scores", "hausdorff_distances"]
-    names = ["Dice", "IoU", "Boundary-F1", "Hausdorff"]
-    comp_ref = ref.get("comparison_results", ref)
-    comp_ours = ours.get("comparison_results", ours)
-    for key, name in zip(keys, names):
-        rb = _row(comp_ref, key, "baseline")
-        rp = _row(comp_ref, key, "pde")
-        ob = _row(comp_ours, key, "baseline")
-        op = _row(comp_ours, key, "pde")
-        lines.append(f"| {name} | {rb:.4f} | {rp:.4f} | {ob:.4f} | {op:.4f} |")
-
-    lines += ["", "## Statistical significance (PDE vs baseline, α=0.05)", ""]
-    lines.append("| metric | ref t-p | ref W-p | ref sig | ours t-p | ours W-p | ours sig |")
-    lines.append("|---|---|---|---|---|---|---|")
-    for key, name in zip(keys, names):
-        r = comp_ref.get(key, {})
-        o = comp_ours.get(key, {})
-        lines.append(
-            f"| {name} | {r.get('t_pvalue', float('nan')):.4f} | "
-            f"{r.get('wilcoxon_pvalue', float('nan')):.4f} | {r.get('significant')} | "
-            f"{o.get('t_pvalue', float('nan')):.4f} | "
-            f"{o.get('wilcoxon_pvalue', float('nan')):.4f} | {o.get('significant')} |"
-        )
-
-    lines += [
+    ] + _metric_tables(ref, ours) + [
         "",
         "## Interpretation",
         "",
@@ -272,8 +337,24 @@ def report() -> None:
     print((REPO / "PARITY_RUN.md").read_text())
 
 
+def _parse():
+    p = argparse.ArgumentParser()
+    p.add_argument("step", choices=["data", "reference", "ours", "report"])
+    p.add_argument("--tag", default="", help="suffix for data/artifact paths; "
+                   "report --tag X appends a section to PARITY_RUN.md")
+    p.add_argument("--stage1-epochs", type=int, dest="stage1_epochs")
+    p.add_argument("--stage2-epochs", type=int, dest="stage2_epochs")
+    p.add_argument("--early-stopping-patience", type=int,
+                   dest="early_stopping_patience")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--train-n", type=int, default=200)
+    p.add_argument("--val-n", type=int, default=50)
+    p.add_argument("--test-n", type=int, default=50)
+    return p.parse_args()
+
+
 if __name__ == "__main__":
-    step = sys.argv[1] if len(sys.argv) > 1 else "report"
-    {"data": make_data, "reference": run_reference, "ours": run_ours, "report": report}[
-        step
-    ]()
+    args = _parse()
+    cfg = Cfg(args)
+    {"data": make_data, "reference": run_reference, "ours": run_ours,
+     "report": report}[args.step](cfg)
