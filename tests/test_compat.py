@@ -285,3 +285,30 @@ class TestEvaluateOnTestSet:
         np.testing.assert_allclose(
             metrics["dice_scores"], direct["dice_scores"], rtol=1e-6
         )
+
+    def test_bf16_predictor_under_f32_default_warns(self, coco_dir, tmp_path):
+        # a bf16 Predictor evaluates in bf16 regardless of dtype='f32';
+        # that silent precision downgrade must warn (advisor r2 finding)
+        import warnings
+
+        from physics_informed_image_segmentation_tpu.serve import Predictor
+        from physics_informed_image_segmentation_tpu.train.checkpoint import (
+            save_params,
+        )
+
+        image_dir, ann = coco_dir
+        model = pkg.UNet(
+            in_channels=1, out_channels=1, base_channels=4, dtype=jnp.bfloat16
+        )
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 96, 112, 1), jnp.float32)
+        )
+        ckpt = save_params(params, tmp_path / "compat_bf16.msgpack")
+        p = Predictor(
+            ckpt, model=model, batch_size=4, image_size=(96, 112),
+            precision="bf16", base_channels=4,
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pkg.evaluate_on_test_set(p, image_dir, ann, batch_size=4)
+        assert any("bfloat16" in str(w.message) for w in caught)

@@ -64,6 +64,12 @@ def test_invalid_activation_raises():
         _init(UNet(base_channels=4, output_activation="softmax"))
 
 
+def test_invalid_upsample_variant_raises():
+    # a typo'd variant must fail loudly, not silently benchmark einsum6
+    with pytest.raises(ValueError, match="FastUpsample variant"):
+        _init(UNet(base_channels=4, upsample_variant="tap"))
+
+
 def test_dropout_train_vs_eval():
     model = UNet(base_channels=8, dropout=0.5)
     params = _init(model)
