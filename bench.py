@@ -86,13 +86,16 @@ A100_AS_WRITTEN_ASSUMPTION = (
 )
 
 ROOFLINE_NOTE = (
-    "per-stage roofline (docs/DESIGN.md s8): the 64-channel stages fill "
-    "64/128 MXU lanes, structural conv floor ~2.4 ms; optimizer traffic "
-    "floor 0.58 ms; perfect step ~3.1 ms = 2580 img/s ceiling on v5e at "
-    "bs=8/128^2 — the 5x-A100 bar (2500) has zero margin even at "
-    "speed-of-light; custom conv kernels were evaluated and declined "
-    "(same lane limit, DESIGN.md s9); 4 optimizer fusions + 2 layout "
-    "re-expressions measured negative (DESIGN.md s7)"
+    "MEASURED floor, not modelled (docs/DESIGN.md s8, component ladder "
+    "scripts/floor_bench.py): the U-Net fwd+bwd ALONE costs 5.32 ms/step "
+    "— equal to the full program — so loss/optimizer/metrics have ~zero "
+    "marginal cost (they overlap into conv-chain schedule gaps) and the "
+    "step ceiling is ~1510-1520 img/s at bs=8 on v5e; the 5x-idealized-"
+    "A100 bar (2500 img/s = 3.2 ms) sits BELOW the measured model-program "
+    "floor and is unreachable for this topology on this chip; 5 optimizer "
+    "variants + 3 layout re-expressions (incl. a concat-free decoder) "
+    "measured negative (DESIGN.md s7); remaining time is XLA TPU-backend "
+    "conv scheduling for small shapes, verified causally by the ladder"
 )
 
 # bf16 peak FLOP/s by device kind (public specs)

@@ -25,7 +25,7 @@ compute dtype (bfloat16 by default for training speed, float32 params),
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,12 +63,56 @@ def _check_activation(name: str) -> str:
     return lower
 
 
+class _SplitFirstConv(nn.Module):
+    """3×3 conv over the channel-concat of ``(a, b)`` WITHOUT
+    materialising the concat.
+
+    The parameter is the full ``(3, 3, Ca+Cb, F)`` kernel (same tree as
+    ``nn.Conv`` over the concatenated input — checkpoints interchange),
+    applied as two partial convs summed:
+    ``conv(concat(a, b), K) == conv(a, K[:, :, :Ca]) + conv(b, K[:, :, Ca:])``.
+    This removes the concat buffer write + read in the forward AND the
+    concat-backward slice copies — pure HBM-traffic savings at every
+    decoder level.  Numerically EQUIVALENT, not bit-identical: the
+    channel reduction is accumulated in two halves then added (same
+    tolerance class as FastUpsample's "taps" variant).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, ca + cb, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        k = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), k[:, :, :ca], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn,
+        )
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), k[:, :, ca:], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn,
+        )
+        return ya + yb + bias.astype(self.dtype)
+
+
 class DoubleConv(nn.Module):
     """Conv3×3 → act → (spatial dropout) → Conv3×3 → act
     (/root/reference/src/unet.py:19-67).
 
     Dropout is channel-wise (torch ``Dropout2d`` semantics): the same
     mask is broadcast over H and W.
+
+    When ``skip`` is given, the first conv consumes the implicit
+    channel-concat ``[x, skip]`` via :class:`_SplitFirstConv` (identical
+    parameter tree, no concat materialisation).
     """
 
     features: int
@@ -77,7 +121,12 @@ class DoubleConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        skip: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         act_name = _check_activation(self.activation)
         if act_name == "prelu":
             # One shared weight for both convs of the block, matching the
@@ -88,7 +137,12 @@ class DoubleConv(nn.Module):
         else:
             act = ACTIVATIONS[act_name]
 
-        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        if skip is not None:
+            x = _SplitFirstConv(self.features, self.dtype, name="conv1")(x, skip)
+        else:
+            x = nn.Conv(
+                self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+            )(x)
         x = act(x)
         if self.dropout > 0:
             # broadcast over (H, W) => channel dropout, like nn.Dropout2d.
@@ -193,6 +247,12 @@ class UNet(nn.Module):
     fast_upsample: bool = True
     # FastUpsample lowering variant ("einsum6" | "taps"), see FastUpsample.
     upsample_variant: str = "einsum6"
+    # decoder skip-connection lowering: "concat" materialises
+    # [up, skip] before each decoder block (reference semantics,
+    # bit-path default); "split" computes the block's first conv as two
+    # partial convs on up/skip directly (_SplitFirstConv) — same param
+    # tree, no concat buffers, numerically equivalent (not bit-identical).
+    decoder: str = "concat"
     # "fused": reshape-max pool with hand-written first-match backward
     # (bit-compatible with select-and-scatter/torch incl. ties, ~0.4 ms
     # per step faster — see ops/pool.py); "xla": flax nn.max_pool.
@@ -203,6 +263,11 @@ class UNet(nn.Module):
             raise ValueError(
                 f"Unsupported output_activation: {self.output_activation}. "
                 "Must be 'sigmoid' or 'tanh'"
+            )
+        if self.decoder not in ("concat", "split"):
+            raise ValueError(
+                f"Unsupported decoder mode: {self.decoder!r}. "
+                "Must be 'concat' or 'split'"
             )
         _check_activation(self.intermediate_activation)
         c, act, d, dt = (
@@ -251,10 +316,16 @@ class UNet(nn.Module):
 
         b = self.bottleneck(pool(e4), deterministic)
 
-        d4 = self.dec4(jnp.concatenate([self.up4(b), e4], axis=-1), deterministic)
-        d3 = self.dec3(jnp.concatenate([self.up3(d4), e3], axis=-1), deterministic)
-        d2 = self.dec2(jnp.concatenate([self.up2(d3), e2], axis=-1), deterministic)
-        d1 = self.dec1(jnp.concatenate([self.up1(d2), e1], axis=-1), deterministic)
+        if self.decoder == "split":
+            d4 = self.dec4(self.up4(b), deterministic, e4)
+            d3 = self.dec3(self.up3(d4), deterministic, e3)
+            d2 = self.dec2(self.up2(d3), deterministic, e2)
+            d1 = self.dec1(self.up1(d2), deterministic, e1)
+        else:
+            d4 = self.dec4(jnp.concatenate([self.up4(b), e4], axis=-1), deterministic)
+            d3 = self.dec3(jnp.concatenate([self.up3(d4), e3], axis=-1), deterministic)
+            d2 = self.dec2(jnp.concatenate([self.up2(d3), e2], axis=-1), deterministic)
+            d1 = self.dec1(jnp.concatenate([self.up1(d2), e1], axis=-1), deterministic)
 
         out = self.out_conv(d1).astype(jnp.float32)
         if self.output_activation.lower() == "sigmoid":

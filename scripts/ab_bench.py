@@ -99,7 +99,7 @@ def run_variant(
 
 def run_multi_epoch(
     pool: str = "fused", opt: str = "adamw", carry: bool = False,
-    batch_size: int = BATCH_SIZE,
+    batch_size: int = BATCH_SIZE, decoder: str = "concat",
 ) -> float:
     """Same workload, E epochs per dispatch (make_train_epochs_fn)."""
     import jax
@@ -114,7 +114,7 @@ def run_multi_epoch(
     images, masks = make_blobs(N_IMAGES, IMAGE_SIZE, IMAGE_SIZE, seed=0)
     data = DeviceDataset.from_numpy(images, masks)
     model = UNet(in_channels=1, out_channels=1, base_channels=64,
-                 dtype=jnp.bfloat16, pool=pool)
+                 dtype=jnp.bfloat16, pool=pool, decoder=decoder)
     cfg = LossConfig(pde_weight=1e-4, phase_field_weight=1e-4,
                      diffusion_coeff=5.0, reaction_threshold=0.5, epsilon=0.05)
     import jax.numpy as _jnp
@@ -139,7 +139,7 @@ def run_multi_epoch(
     dt = (time.perf_counter() - t0) / TIMED
     ips = N_IMAGES / dt
     print(f"VARIANT multi-epoch pool={pool} opt={opt} carry={int(carry)} "
-          f"bs={batch_size}: {ips:8.1f} img/s "
+          f"decoder={decoder} bs={batch_size}: {ips:8.1f} img/s "
           f"({dt / (N_IMAGES // batch_size) * 1e3:.3f} ms/step)", flush=True)
     return ips
 
@@ -147,8 +147,11 @@ def run_multi_epoch(
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "multi":
         bs = [int(a[3:]) for a in sys.argv[2:] if a.startswith("bs=")]
+        opt = [a[4:] for a in sys.argv[2:] if a.startswith("opt=")]
         run_multi_epoch(carry="carry" in sys.argv[2:],
-                        batch_size=bs[0] if bs else BATCH_SIZE)
+                        batch_size=bs[0] if bs else BATCH_SIZE,
+                        opt=opt[0] if opt else "adamw",
+                        decoder="split" if "split" in sys.argv[2:] else "concat")
     elif len(sys.argv) > 2:
         run_variant(sys.argv[1], bool(int(sys.argv[2])),
                     sys.argv[3] if len(sys.argv) > 3 else "adamw",

@@ -110,15 +110,19 @@ def run_rung(name: str) -> float:
 
         sec = _time_one(jax, prog, params_bf16, x)
 
-    elif name == "fwdbwd":
+    elif name in ("fwdbwd", "fwdbwd_nodrop"):
+        deterministic = name.endswith("nodrop")
+
         @jax.jit
         def prog(params, x):
             def body(acc, batch):
                 i, xb = batch
 
                 def f(p):
-                    pred = model.apply(p, xb, deterministic=False,
-                                       rngs={"dropout": dropout_key(i)})
+                    pred = model.apply(
+                        p, xb, deterministic=deterministic,
+                        rngs={} if deterministic else {"dropout": dropout_key(i)},
+                    )
                     return jnp.sum(pred)
 
                 val, grads = jax.value_and_grad(f)(params)
@@ -167,11 +171,19 @@ def run_rung(name: str) -> float:
         flat_x = x.reshape(STEPS * BATCH, SIZE, SIZE, 1)
         flat_y = y.reshape(STEPS * BATCH, SIZE, SIZE, 1)
 
-        def prog(state, fx, fy):
-            new_state, r = fn(state, fx, fy, idx, valid)
-            return r["loss"]
-
-        sec = _time_one(jax, prog, state, flat_x, flat_y)
+        # the epoch program donates its state — thread it through the
+        # timing loop (bench.py pattern) instead of using _time_one
+        for _ in range(WARMUP):
+            state, r = fn(state, flat_x, flat_y, idx, valid)
+            _ = float(r["loss"][-1])
+        times = []
+        for _ in range(TIMED):
+            t0 = time.perf_counter()
+            state, r = fn(state, flat_x, flat_y, idx, valid)
+            _ = float(r["loss"][-1])
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        sec = times[len(times) // 2]
     else:
         raise SystemExit(f"unknown rung {name}")
 

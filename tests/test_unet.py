@@ -70,6 +70,62 @@ def test_invalid_upsample_variant_raises():
         _init(UNet(base_channels=4, upsample_variant="tap"))
 
 
+class TestSplitDecoder:
+    """decoder='split' (concat-free skip fusion): identical param tree,
+    numerically equivalent outputs/grads (two-partial-sum accumulation
+    rounds differently at ULP level — tolerance, not bit-equality)."""
+
+    def test_param_tree_identical_and_outputs_match(self):
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(2, 64, 64, 1)).astype(np.float32)
+        )
+        m1 = UNet(base_channels=8)
+        m2 = UNet(base_channels=8, decoder="split")
+        p = m1.init(jax.random.key(0), x)
+        p2 = m2.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p2)
+        ):
+            assert a.shape == b.shape
+        y1, y2 = m1.apply(p, x), m2.apply(p, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-6)
+
+    def test_grads_equivalent(self):
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(size=(2, 64, 64, 1)).astype(np.float32)
+        )
+        m1 = UNet(base_channels=8)
+        m2 = UNet(base_channels=8, decoder="split")
+        p = m1.init(jax.random.key(0), x)
+
+        def grads(m):
+            return jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(grads(m1)),
+            jax.tree_util.tree_leaves(grads(m2)),
+        ):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
+    def test_remat_and_checkpoint_interchange(self):
+        x = jnp.asarray(
+            np.random.default_rng(2).uniform(size=(1, 32, 32, 1)).astype(np.float32)
+        )
+        m1 = UNet(base_channels=4)
+        m3 = UNet(base_channels=4, decoder="split", remat=True)
+        p = m1.init(jax.random.key(0), x)
+        # params trained/saved under concat load straight into split+remat
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(p, x)), np.asarray(m3.apply(p, x)), atol=2e-6
+        )
+
+    def test_invalid_decoder_raises(self):
+        with pytest.raises(ValueError, match="decoder mode"):
+            _init(UNet(base_channels=4, decoder="fused"))
+
+
 def test_dropout_train_vs_eval():
     model = UNet(base_channels=8, dropout=0.5)
     params = _init(model)
