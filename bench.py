@@ -234,8 +234,9 @@ def main() -> None:
             pallas_smoke = f"skip: fused-kernel grad mismatch {gdiff:.2e}"
 
         def tot_padded(v):
+            # (B, 2) = [sum r^2, sum pf] per sample
             s = padded_physics_sums(v, 5.0, 0.5, 0.05, True)
-            return 1e-4 * s[0] + 1e-4 * s[1]
+            return 1e-4 * jnp.sum(s) / u.size
 
         up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
         gp = jax.jit(jax.grad(tot_padded))(up)
