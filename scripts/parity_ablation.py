@@ -18,6 +18,8 @@ Usage (steps are independent / resumable):
 
     python scripts/parity_ablation.py data        # build the dataset
     python scripts/parity_ablation.py reference   # reference side (slow, CPU)
+    python scripts/parity_ablation.py reference-resume  # resume from the
+                                  # checkpoints of an interrupted `reference`
     python scripts/parity_ablation.py ours        # this framework
     python scripts/parity_ablation.py report      # assemble PARITY_ABLATION.md
 
@@ -118,6 +120,20 @@ REF_DRIVER = textwrap.dedent(
 ).format(**HP)
 
 
+def _collect_reference_artifacts() -> None:
+    out = ART / "reference"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for src in (REF_RUN / "output" / "ablation").glob("R1_*"):
+        for f in src.rglob("*"):
+            if f.suffix in (".json", ".csv"):
+                dest = out / f.relative_to(src)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(f, dest)
+    print(f"reference artifacts -> {out}")
+
+
 def run_reference() -> None:
     if REF_RUN.exists():
         shutil.rmtree(REF_RUN)
@@ -133,18 +149,102 @@ def run_reference() -> None:
     subprocess.run(
         [sys.executable, "_parity_driver.py"], cwd=REF_RUN, env=env, check=True
     )
+    _collect_reference_artifacts()
 
-    out = ART / "reference"
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
-    for src in (REF_RUN / "output" / "ablation").glob("R1_*"):
-        for f in src.rglob("*"):
-            if f.suffix in (".json", ".csv"):
-                dest = out / f.relative_to(src)
-                dest.parent.mkdir(parents=True, exist_ok=True)
-                shutil.copy2(f, dest)
-    print(f"reference artifacts -> {out}")
+
+# Resume driver: re-runs the reference's own run_ablation_study UNCHANGED
+# except that train_stage is short-circuited for any (variant, stage) whose
+# post-stage checkpoint + per-epoch metrics CSV were already written by an
+# interrupted run (dir via PARITY_RESUME_FROM).  Only the lost training
+# re-runs for real; every evaluation, statistical comparison and artifact
+# is recomputed by the reference's unmodified code paths.  Each stage
+# creates a fresh AdamW optimizer (/root/reference/src/ablation.py:268,375,
+# 639), so restoring post-stage weights is a semantically exact resume; the
+# only divergence from an uninterrupted run is the torch RNG stream position
+# at the resumed stage (shuffle order), which is within seed noise.
+RESUME_DRIVER = textwrap.dedent(
+    """
+    import os, shutil, sys
+    from pathlib import Path
+    import pandas as pd
+    import torch
+    sys.path.insert(0, '.')
+    from run_ablation import define_ablation_r1
+    import src.ablation as abl
+
+    OLD = Path(os.environ['PARITY_RESUME_FROM'])
+    _orig_train_stage = abl.train_stage
+
+    def cached_train_stage(model, train_loader, val_loader, criterion,
+                           optimizer, device, num_epochs, stage_name,
+                           early_stopping=None, verbose=True, csv_path=None):
+        if csv_path is not None:
+            stem = Path(csv_path).name.replace('_metrics.csv', '')
+            prefix, stage = stem.rsplit('_stage', 1)
+            weights = {{
+                '1': [prefix + '_baseline_after_stage1.pth'],
+                '2': [prefix + '_after_pde_stage2.pth', prefix + '_42.pth'],
+            }}.get(stage, [])
+            old_csv = OLD / Path(csv_path).name
+            wpath = next((OLD / w for w in weights if (OLD / w).exists()), None)
+            if old_csv.exists() and wpath is not None:
+                model.load_state_dict(torch.load(wpath, map_location=device))
+                shutil.copy2(old_csv, csv_path)
+                all_metrics = pd.read_csv(old_csv).to_dict('records')
+                print('[resume] ' + stage_name + ': reloaded ' + wpath.name
+                      + ' + ' + old_csv.name + ' ('
+                      + str(len(all_metrics))
+                      + ' epochs) from the interrupted run')
+                return {{}}, 0, all_metrics
+        return _orig_train_stage(model, train_loader, val_loader, criterion,
+                                 optimizer, device, num_epochs, stage_name,
+                                 early_stopping=early_stopping,
+                                 verbose=verbose, csv_path=csv_path)
+
+    abl.train_stage = cached_train_stage
+    variants = define_ablation_r1()
+    variants[3].use_three_stage = True  # three-stage control on RD+PF
+    abl.run_ablation_study(
+        'R1', variants,
+        train_dir='images/training',
+        train_json='images/annotation/training_annotation.json',
+        val_dir='images/validation',
+        val_json='images/annotation/validation_annotation.json',
+        in_dist_test_dir='images/in_dist_testing',
+        in_dist_test_json='images/annotation/in_dist_testing_annotation.json',
+        out_dist_test_dir='images/out_dist_testing',
+        out_dist_test_json='images/annotation/out_dist_testing_annotation.json',
+        device=torch.device('cpu'),
+        batch_size={batch_size}, learning_rate={learning_rate},
+        stage1_epochs={stage1_epochs}, stage2_epochs={stage2_epochs},
+        early_stopping_patience={early_stopping_patience},
+    )
+    """
+).format(**HP)
+
+
+def run_reference_resume() -> None:
+    """Resume an interrupted `reference` step from its saved checkpoints."""
+    abl_dir = REF_RUN / "output" / "ablation"
+    olds = sorted(abl_dir.glob("R1_*"))
+    if not olds:
+        raise FileNotFoundError(f"no interrupted R1 run under {abl_dir}")
+    # Move the interrupted run's dir out of output/ so the fresh study's
+    # artifact glob stays clean; the resume driver reads checkpoints there.
+    resume_src = REF_RUN / "_interrupted" / olds[-1].name
+    resume_src.parent.mkdir(exist_ok=True)
+    for old in olds:
+        shutil.move(str(old), REF_RUN / "_interrupted" / old.name)
+    env = dict(os.environ)
+    env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1",
+               PARITY_RESUME_FROM=str(resume_src))
+    (REF_RUN / "_parity_resume_driver.py").write_text(RESUME_DRIVER)
+    print(f"reference R1 study RESUMING from {resume_src} ...", flush=True)
+    subprocess.run(
+        [sys.executable, "_parity_resume_driver.py"], cwd=REF_RUN, env=env,
+        check=True,
+    )
+    _collect_reference_artifacts()
 
 
 def run_ours() -> None:
@@ -309,5 +409,6 @@ def report() -> None:
 
 if __name__ == "__main__":
     step = sys.argv[1] if len(sys.argv) > 1 else "report"
-    {"data": make_data, "reference": run_reference, "ours": run_ours,
+    {"data": make_data, "reference": run_reference,
+     "reference-resume": run_reference_resume, "ours": run_ours,
      "report": report}[step]()
