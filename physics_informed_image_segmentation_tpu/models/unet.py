@@ -170,15 +170,17 @@ class FastUpsample(nn.Module):
     # depth-to-space formulation (same math, different XLA lowering):
     #   "einsum6"  one 6-D einsum -> reshape (profiled: XLA inserts a
     #              ~0.1 ms relayout copy at the 128x128 level);
-    #   "taps"     one matmul per kernel tap + jnp.stack interleave.
+    #   "taps"     one matmul per kernel tap + jnp.stack interleave;
+    #   "convtranspose"  native lax.conv_transpose lowering, the A/B
+    #              control the matmul formulations were built against.
     variant: str = "einsum6"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.variant not in ("einsum6", "taps"):
+        if self.variant not in ("einsum6", "taps", "convtranspose"):
             raise ValueError(
                 f"Unsupported FastUpsample variant: {self.variant!r}. "
-                "Must be 'einsum6' or 'taps'"
+                "Must be 'einsum6', 'taps' or 'convtranspose'"
             )
         in_ch = x.shape[-1]
         kernel = self.param(
@@ -209,6 +211,17 @@ class FastUpsample(nn.Module):
             row0 = jnp.stack(y[0:2], axis=3)  # (B, H, W, 2, F)
             row1 = jnp.stack(y[2:4], axis=3)
             out = jnp.stack([row0, row1], axis=2)  # (B, H, 2, W, 2, F)
+        elif self.variant == "convtranspose":
+            # native XLA conv_transpose lowering (fractionally-strided
+            # conv) — the A/B control for the matmul formulations.
+            y = jax.lax.conv_transpose(
+                xc,
+                kernel.astype(self.dtype),
+                strides=(2, 2),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
         else:
             # output spec "bhiwjf" puts the depth-to-space interleave
             # directly in the einsum's output index order
@@ -245,7 +258,8 @@ class UNet(nn.Module):
     # ConvTranspose(k=2, s=2) with the same parameter structure, ~2×
     # faster on TPU (see FastUpsample).
     fast_upsample: bool = True
-    # FastUpsample lowering variant ("einsum6" | "taps"), see FastUpsample.
+    # FastUpsample lowering variant ("einsum6" | "taps" | "convtranspose"),
+    # see FastUpsample.
     upsample_variant: str = "einsum6"
     # decoder skip-connection lowering: "concat" materialises
     # [up, skip] before each decoder block (reference semantics,

@@ -399,6 +399,30 @@ class TestFastUpsampleVariants:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
             )
 
+    def test_convtranspose_lowering_matches(self, rng):
+        """The native XLA conv_transpose lowering (the A/B control for
+        the matmul formulations) computes the same map: for k=s=2 each
+        output pixel is a single length-C contraction, so forward and
+        gradients agree with "einsum6" to dot-blocking tolerance."""
+        from physics_informed_image_segmentation_tpu.models.unet import FastUpsample
+
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+        m1 = FastUpsample(8, jnp.float32, "einsum6")
+        m3 = FastUpsample(8, jnp.float32, "convtranspose")
+        p = m1.init(jax.random.key(1), x)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(p, x)), np.asarray(m3.apply(p, x)),
+            rtol=1e-6, atol=1e-6,
+        )
+        g1 = jax.grad(lambda q: float_loss(m1, q, x))(p)
+        g3 = jax.grad(lambda q: float_loss(m3, q, x))(p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g3)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
 
 def float_loss(module, params, x):
     return jnp.sum(jnp.sin(module.apply(params, x)))
