@@ -90,18 +90,31 @@ REF_POOL_DRIVER = textwrap.dedent(
 
 
 def run_reference() -> None:
-    if REF_RUN.exists():
-        shutil.rmtree(REF_RUN)
-    shutil.copytree("/root/reference", REF_RUN)
+    # Per-seed resumable: a seed whose renamed checkpoint pair already
+    # exists under models/ is skipped, so an interrupted run re-trains
+    # only the seeds it lost.  The tree is only rebuilt on first entry.
+    if not (REF_RUN / "main.py").exists():
+        if REF_RUN.exists():
+            shutil.rmtree(REF_RUN)
+        shutil.copytree("/root/reference", REF_RUN)
     target = REF_RUN / "images"
-    if target.exists():
-        shutil.rmtree(target)
+    if target.exists() or target.is_symlink():
+        if target.is_symlink():
+            target.unlink()
+        else:
+            shutil.rmtree(target)
     target.symlink_to(DATA_ROOT / "images")
     env = dict(os.environ)
     env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
     models = REF_RUN / "models"
 
     for seed in SEEDS:
+        if (models / f"seed{seed}_baseline.pth").exists() and (
+            models / f"seed{seed}_pde.pth"
+        ).exists():
+            print(f"reference train seed={seed}: already done, skipping",
+                  flush=True)
+            continue
         args = [
             sys.executable, "main.py",
             "--stage1-epochs", str(HP["stage1_epochs"]),
