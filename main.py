@@ -95,6 +95,18 @@ def main():
         "--base-channels", type=int, default=64,
         help="U-Net base channel count (default: 64, the reference architecture)",
     )
+    parser.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="Write a full Orbax train-state checkpoint every N epochs "
+             "under {models}/checkpoints/ (default: 0 = off)",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Continue an interrupted run in the same output/models dirs: "
+             "completed stages are skipped, a partial stage restarts from "
+             "its latest checkpoint and continues its CSV in place "
+             "(bit-identical to an uninterrupted run at equal precision)",
+    )
     args = parser.parse_args()
 
     train(
@@ -116,6 +128,8 @@ def main():
         physics_backend=args.physics_backend,
         make_plots=not args.no_plots,
         base_channels=args.base_channels,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
 
 

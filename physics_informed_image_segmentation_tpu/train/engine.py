@@ -545,6 +545,20 @@ class EarlyStopping:
         return self.early_stop
 
 
+def _nested_metrics_from_row(row: dict) -> dict:
+    """Invert the flat epoch-CSV row back into the ``{"train": {...},
+    "val": {...}}`` shape ``train_stage`` tracks for best-epoch metrics
+    (used when replaying completed epochs on resume)."""
+    train: dict = {}
+    val: dict = {}
+    for k, v in row.items():
+        if k.startswith("train_"):
+            train[k[len("train_"):]] = float(v)
+        elif k.startswith("val_"):
+            val[k[len("val_"):]] = float(v)
+    return {"train": train, "val": val}
+
+
 def train_stage(
     state: TrainState,
     train_epoch_fn,
@@ -564,6 +578,7 @@ def train_stage(
     checkpoint_every: int = 0,
     timing_out: Optional[dict] = None,
     save_best_path=None,
+    initial_metrics: Optional[list[dict]] = None,
 ) -> tuple[TrainState, dict, int, list[dict]]:
     """Host-side stage loop (/root/reference/src/train.py:289-391).
 
@@ -576,6 +591,14 @@ def train_stage(
     resume capability the reference lacks (SURVEY.md §5); restore with
     :func:`.checkpoint.restore_train_state`.
 
+    ``initial_metrics``: resume support — epoch rows already completed
+    by an interrupted run (``state`` must be the matching restored
+    train-state).  They are replayed through the identical best-val-Dice
+    tracking and early-stopping logic, then training continues at epoch
+    ``len(initial_metrics)``.  Because shuffle keys fold in the epoch
+    index and dropout keys fold in ``state.step``, a resumed stage is
+    bit-identical to an uninterrupted one.
+
     ``timing_out``: optional dict filled with ``epoch_seconds`` and
     ``steady_state_images_per_sec`` (first epoch excluded — it includes
     XLA compilation).
@@ -584,7 +607,15 @@ def train_stage(
     best-weights-never-restored quirk — when set, the params of every
     new best-val-Dice epoch are saved there (msgpack).  The returned
     state remains the LAST epoch's (default reference semantics).
+
+    Fault injection (test hook for the resume path): setting the env
+    var ``PIIS_FAULT_AFTER="<stage_name>:<epoch>"`` raises
+    ``RuntimeError`` immediately after the named stage finishes that
+    epoch (after its CSV row and any checkpoint are written) —
+    simulating a mid-training crash so ``train(resume=True)`` recovery
+    can be exercised end-to-end (tests/test_cli.py).
     """
+    import os as _os
     import time as _time
 
     from ..data.pipeline import epoch_batch_indices
@@ -600,7 +631,35 @@ def train_stage(
     n_train, n_val = train_data.n, val_data.n
     val_idx, val_valid = epoch_batch_indices(n_val, batch_size, shuffle=False)
 
-    for epoch in range(num_epochs):
+    if initial_metrics:
+        all_metrics = [dict(r) for r in initial_metrics]
+        for row in all_metrics:
+            vd, ep = float(row["val_dice_score"]), int(row["epoch"])
+            if vd > best_val_dice:
+                best_val_dice = vd
+                best_epoch = ep
+                best_metrics = _nested_metrics_from_row(row)
+            if early_stopping is not None and early_stopping(vd, ep):
+                # the interrupted run had already stopped; nothing to do
+                if verbose:
+                    print(
+                        f"\n[resume] {stage_name}: early stopping already "
+                        f"triggered at epoch {ep} in the previous run"
+                    )
+                if csv_path is not None:
+                    save_metrics_to_csv(all_metrics, csv_path)
+                if timing_out is not None:
+                    timing_out["epoch_seconds"] = []
+                    timing_out["steady_state_images_per_sec"] = 0.0
+                return state, best_metrics, best_epoch, all_metrics
+        if verbose and all_metrics:
+            print(
+                f"[resume] {stage_name}: {len(all_metrics)} completed "
+                f"epoch(s) replayed, continuing at epoch "
+                f"{len(all_metrics) + 1}/{num_epochs}"
+            )
+
+    for epoch in range(len(all_metrics), num_epochs):
         t_epoch = _time.perf_counter()
         key = jax.random.fold_in(shuffle_key, epoch)
         idx, valid = epoch_batch_indices(n_train, batch_size, shuffle=True, key=key)
@@ -651,6 +710,15 @@ def train_stage(
                 save_train_state(state, checkpoint_dir)
         if epoch_callback is not None:
             epoch_callback(epoch + 1, epoch_metrics)
+
+        fault = _os.environ.get("PIIS_FAULT_AFTER")
+        if fault is not None:
+            f_stage, _, f_epoch = fault.rpartition(":")
+            if f_stage == stage_name and int(f_epoch) == epoch + 1:
+                raise RuntimeError(
+                    f"PIIS_FAULT_AFTER: injected crash after "
+                    f"{stage_name} epoch {epoch + 1}"
+                )
 
         if verbose:
             print(f"\n{stage_name} - Epoch {epoch + 1}/{num_epochs}")

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import CocoSegmentationSource, DeviceDataset, subset_fraction_indices
+from ..data.pipeline import num_batches
 from ..models import UNet, count_parameters
 from .checkpoint import save_params
 from .csvlog import save_test_metrics
@@ -52,6 +53,72 @@ __all__ = ["train", "load_device_dataset"]
 def load_device_dataset(image_dir, annotation_file, image_size=(128, 128)) -> DeviceDataset:
     src = CocoSegmentationSource(Path(image_dir), Path(annotation_file), image_size)
     return DeviceDataset.from_numpy(src.images, src.masks)
+
+
+def _read_metric_rows(csv_path: Path) -> list[dict]:
+    """Load per-epoch rows from a 17-column stage CSV (resume replay)."""
+    import csv
+
+    rows: list[dict] = []
+    with open(csv_path, newline="") as f:
+        for r in csv.DictReader(f):
+            row = {k: (int(v) if k == "epoch" else float(v))
+                   for k, v in r.items()}
+            rows.append(row)
+    return rows
+
+
+def _stage_resume(
+    state,
+    *,
+    output_dir: Path,
+    csv_glob: str,
+    checkpoint_dir: Optional[Path],
+    final_artifact: Optional[Path],
+    steps_per_epoch: int,
+    verbose: bool,
+):
+    """Resume plan for one stage: ``(state, initial_metrics, csv_path)``.
+
+    Priority: (1) the stage's final artifact exists -> the whole stage
+    is done; load its params and replay every CSV row (the stage loop
+    then runs zero new epochs).  (2) an Orbax checkpoint exists ->
+    restore the full train-state and replay the CSV rows up to the
+    checkpointed epoch (epochs after the last checkpoint re-run and,
+    being keyed on epoch index / state.step, reproduce identically).
+    (3) nothing to resume -> ``(state, None, None)``.
+
+    The latest ``metrics_<stage>_*.csv`` under ``output_dir`` is the
+    interrupted run's log; resume continues appending to that same file.
+    """
+    csvs = sorted(output_dir.glob(csv_glob), key=lambda p: p.stat().st_mtime)
+    if not csvs:
+        return state, None, None
+    prev_csv = csvs[-1]
+    rows = _read_metric_rows(prev_csv)
+
+    if final_artifact is not None and final_artifact.exists() and rows:
+        from .checkpoint import load_params
+
+        params = load_params(final_artifact, template=state.params)
+        if verbose:
+            print(f"[resume] stage already complete: {final_artifact.name} "
+                  f"+ {prev_csv.name} ({len(rows)} epochs)")
+        return state.replace(params=params), rows, prev_csv
+
+    if checkpoint_dir is not None:
+        from .checkpoint import latest_checkpoint_step, restore_train_state
+
+        step = latest_checkpoint_step(checkpoint_dir)
+        if step is not None:
+            state = restore_train_state(state, checkpoint_dir)
+            done = int(state.step) // steps_per_epoch
+            if verbose:
+                print(f"[resume] restored {checkpoint_dir.name} checkpoint "
+                      f"at step {int(state.step)} (= {done} epochs), "
+                      f"log {prev_csv.name}")
+            return state, rows[:done], prev_csv
+    return state, None, None
 
 
 def _precision_dtype(precision: str):
@@ -88,6 +155,7 @@ def train(
     make_plots: bool = True,
     verbose: bool = True,
     checkpoint_every: int = 0,
+    resume: bool = False,
     base_channels: int = 64,
 ) -> dict:
     """Run the full two-stage (or single-stage) pipeline; returns artifacts.
@@ -100,6 +168,17 @@ def train(
     > 0 writes full Orbax train-state checkpoints every N epochs under
     ``{models_dir}/checkpoints/{stage}`` (restore with
     :func:`.checkpoint.restore_train_state`).
+
+    ``resume=True`` continues an interrupted run in the same
+    ``output_dir``/``models_dir`` (same hyperparameters assumed):
+    completed stages are skipped via their final ``.msgpack`` artifacts,
+    a partially-trained stage restarts from its latest Orbax checkpoint
+    (written when ``checkpoint_every`` > 0), completed epochs are
+    replayed through the same best-tracking/early-stopping logic, and
+    the interrupted run's per-epoch CSV is continued in place.  Epochs
+    after the last checkpoint re-run and reproduce identically (shuffle
+    keys are epoch-indexed, dropout keys step-indexed), so a resumed
+    run is bit-identical to an uninterrupted one at equal precision.
     """
     # Global numpy seed: reference parity for train_fraction subsetting
     # (/root/reference/src/train.py:568-572).
@@ -210,6 +289,21 @@ def train(
             model, eval_cfg_stage1, param_carry_dtype=carry_dtype
         )
         eval_fn = make_eval_epoch_fn(model, eval_cfg_stage1)
+        ckpt_dir_s1 = (models_dir / "checkpoints" / "stage1"
+                       if checkpoint_every > 0 else None)
+        init1 = None
+        if resume:
+            state, init1, prev_csv = _stage_resume(
+                state,
+                output_dir=output_dir,
+                csv_glob="metrics_stage1_*.csv",
+                checkpoint_dir=ckpt_dir_s1,
+                final_artifact=models_dir / "unet_baseline.msgpack",
+                steps_per_epoch=num_batches(train_data.n, batch_size),
+                verbose=verbose,
+            )
+            if prev_csv is not None:
+                csv_path_stage1 = prev_csv
         _t_s1: dict = {}
         state, best1, best1_epoch, s1_metrics = train_stage(
             state,
@@ -225,11 +319,11 @@ def train(
             verbose=verbose,
             csv_path=csv_path_stage1,
             timing_out=_t_s1,
-            checkpoint_dir=(models_dir / "checkpoints" / "stage1")
-            if checkpoint_every > 0 else None,
+            checkpoint_dir=ckpt_dir_s1,
             checkpoint_every=checkpoint_every,
+            initial_metrics=init1,
         )
-        n_images_trained += len(s1_metrics) * train_data.n
+        n_images_trained += (len(s1_metrics) - len(init1 or [])) * train_data.n
         stage_timings.append(_t_s1)
         if verbose and best1:
             print(
@@ -277,6 +371,21 @@ def train(
             model, stage2_loss_cfg, param_carry_dtype=carry_dtype
         )
         eval_fn2 = make_eval_epoch_fn(model, stage2_loss_cfg)
+        ckpt_dir_s2 = (models_dir / "checkpoints" / "stage2"
+                       if checkpoint_every > 0 else None)
+        init2 = None
+        if resume:
+            state, init2, prev_csv = _stage_resume(
+                state,
+                output_dir=output_dir,
+                csv_glob="metrics_stage2_*.csv",
+                checkpoint_dir=ckpt_dir_s2,
+                final_artifact=models_dir / "unet_pde_regularized.msgpack",
+                steps_per_epoch=num_batches(train_data.n, batch_size),
+                verbose=verbose,
+            )
+            if prev_csv is not None:
+                csv_path_stage2 = prev_csv
         _t_s2: dict = {}
         state, best2, best2_epoch, s2_metrics = train_stage(
             state,
@@ -292,11 +401,11 @@ def train(
             verbose=verbose,
             csv_path=csv_path_stage2,
             timing_out=_t_s2,
-            checkpoint_dir=(models_dir / "checkpoints" / "stage2")
-            if checkpoint_every > 0 else None,
+            checkpoint_dir=ckpt_dir_s2,
             checkpoint_every=checkpoint_every,
+            initial_metrics=init2,
         )
-        n_images_trained += len(s2_metrics) * train_data.n
+        n_images_trained += (len(s2_metrics) - len(init2 or [])) * train_data.n
         stage_timings.append(_t_s2)
         if verbose and best2:
             print(
@@ -333,6 +442,21 @@ def train(
             model, stage2_loss_cfg, param_carry_dtype=carry_dtype
         )
         eval_fn = make_eval_epoch_fn(model, stage2_loss_cfg)
+        ckpt_dir_single = (models_dir / "checkpoints" / "single"
+                           if checkpoint_every > 0 else None)
+        init_s = None
+        if resume:
+            state, init_s, prev_csv = _stage_resume(
+                state,
+                output_dir=output_dir,
+                csv_glob="metrics_single_stage_*.csv",
+                checkpoint_dir=ckpt_dir_single,
+                final_artifact=models_dir / "unet_pde_regularized.msgpack",
+                steps_per_epoch=num_batches(train_data.n, batch_size),
+                verbose=verbose,
+            )
+            if prev_csv is not None:
+                csv_path_single = prev_csv
         _t_single: dict = {}
         state, best, best_epoch, s_metrics = train_stage(
             state,
@@ -348,11 +472,11 @@ def train(
             verbose=verbose,
             csv_path=csv_path_single,
             timing_out=_t_single,
-            checkpoint_dir=(models_dir / "checkpoints" / "single")
-            if checkpoint_every > 0 else None,
+            checkpoint_dir=ckpt_dir_single,
             checkpoint_every=checkpoint_every,
+            initial_metrics=init_s,
         )
-        n_images_trained += len(s_metrics) * train_data.n
+        n_images_trained += (len(s_metrics) - len(init_s or [])) * train_data.n
         stage_timings.append(_t_single)
         model_path_stage2 = save_params(
             state.params, models_dir / "unet_pde_regularized.msgpack"

@@ -43,8 +43,10 @@ def data_root(tmp_path_factory):
     return root
 
 
-def _run(args, cwd, timeout=1200):
+def _run(args, cwd, timeout=1200, extra_env=None):
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
@@ -84,6 +86,44 @@ def test_main_cli_end_to_end(data_root):
     assert list((data_root / "output").glob("test_metrics_stage2_*.json"))
     assert (data_root / "output" / "two_stage_comparison.png").exists()
     assert "TRAINING COMPLETE" in r.stdout
+
+
+@pytest.mark.slow
+def test_main_cli_resume_after_crash(data_root, tmp_path):
+    """Crash mid-Stage-II (injected via PIIS_FAULT_AFTER), then
+    `--resume` completes the run in the same dirs: Stage I is skipped
+    via its final artifact, Stage II restarts from its latest Orbax
+    checkpoint and continues the interrupted run's CSV in place."""
+    import csv as _csv
+
+    (tmp_path / "images").symlink_to(data_root / "images")
+    args = [
+        str(REPO / "main.py"),
+        "--stage1-epochs", "2", "--stage2-epochs", "2",
+        "--base-channels", "8",
+        "--batch-size", "4", "--precision", "f32",
+        "--physics-backend", "jax", "--seed", "0", "--no-plots",
+        "--checkpoint-every", "1",
+    ]
+    r = _run(args, cwd=tmp_path, extra_env={"PIIS_FAULT_AFTER": "Stage II:1"})
+    assert r.returncode != 0
+    assert "PIIS_FAULT_AFTER" in r.stderr
+    assert (tmp_path / "models" / "unet_baseline.msgpack").exists()
+    assert not (tmp_path / "models" / "unet_pde_regularized.msgpack").exists()
+
+    r = _run(args + ["--resume"], cwd=tmp_path)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "[resume] stage already complete" in r.stdout   # Stage I skipped
+    assert "[resume] restored" in r.stdout                 # Stage II continued
+    assert (tmp_path / "models" / "unet_pde_regularized.msgpack").exists()
+    assert "TRAINING COMPLETE" in r.stdout
+
+    # exactly one Stage-II CSV, continued in place with epochs 1..2
+    csvs = list((tmp_path / "output").glob("metrics_stage2_*.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0], newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [int(row["epoch"]) for row in rows] == [1, 2]
 
 
 @pytest.mark.slow

@@ -249,6 +249,96 @@ class TestStageCheckpointing:
         )
 
 
+class TestStageResume:
+    """`initial_metrics` resume: a continued stage must be bit-identical
+    to an uninterrupted one (shuffle keys fold in the epoch index,
+    dropout keys fold in state.step)."""
+
+    def _stage(self, model, data, state, n_epochs, csv_path, **kw):
+        cfg = LossConfig(backend="jax")
+        return train_stage(
+            state,
+            make_train_epoch_fn(model, cfg),
+            make_eval_epoch_fn(model, cfg),
+            data,
+            data,
+            batch_size=4,
+            num_epochs=n_epochs,
+            stage_name="T",
+            shuffle_key=jax.random.key(7),
+            verbose=False,
+            csv_path=csv_path,
+            **kw,
+        )
+
+    def test_resumed_stage_bit_identical(self, model_and_data, tmp_path):
+        model, data = model_and_data
+
+        def fresh():
+            return create_train_state(
+                model, jax.random.key(0), 1e-3, input_shape=(1, 32, 32, 1)
+            )
+
+        # oracle: 5 uninterrupted epochs
+        sA, bestA, beA, mA = self._stage(model, data, fresh(), 5, tmp_path / "a.csv")
+        # "interrupted": 3 epochs with per-epoch checkpoints
+        ck = tmp_path / "ck"
+        _, _, _, mB = self._stage(
+            model, data, fresh(), 3, tmp_path / "b.csv",
+            checkpoint_dir=ck, checkpoint_every=1,
+        )
+        # resume from the checkpoint, replaying the 3 completed rows
+        restored = restore_train_state(fresh(), ck)
+        sC, bestC, beC, mC = self._stage(
+            model, data, restored, 5, tmp_path / "b.csv", initial_metrics=mB,
+        )
+
+        assert [r["epoch"] for r in mC] == [1, 2, 3, 4, 5]
+        for ra, rc in zip(mA, mC):
+            for k in ra:
+                assert float(ra[k]) == float(rc[k]), k
+        assert beA == beC
+        assert bestA["val"]["dice_score"] == bestC["val"]["dice_score"]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(sA.params),
+            jax.device_get(sC.params),
+        )
+        # the continued CSV matches the oracle's rows exactly
+        with open(tmp_path / "a.csv") as f:
+            rows_a = list(csv.DictReader(f))
+        with open(tmp_path / "b.csv") as f:
+            rows_b = list(csv.DictReader(f))
+        assert rows_a == rows_b
+
+    def test_replay_detects_already_stopped(self, tiny_setup):
+        model, state, data = tiny_setup
+        rows = [
+            {"epoch": e, "val_dice_score": 0.5, "train_loss": 1.0,
+             "val_loss": 1.0} for e in (1, 2, 3)
+        ]
+        es = EarlyStopping(patience=2, min_delta=1e-4, mode="max")
+        cfg = LossConfig(backend="jax")
+        state, best, best_epoch, all_metrics = train_stage(
+            state,
+            make_train_epoch_fn(model, cfg),
+            make_eval_epoch_fn(model, cfg),
+            data,
+            data,
+            batch_size=4,
+            num_epochs=10,
+            stage_name="T",
+            shuffle_key=jax.random.key(0),
+            early_stopping=es,
+            verbose=False,
+            initial_metrics=rows,
+        )
+        # epoch 1 set best, epochs 2-3 exhausted patience: no new epochs
+        assert len(all_metrics) == 3
+        assert es.early_stop
+        assert best_epoch == 1
+
+
 def test_save_best_checkpoint(tiny_setup, tmp_path):
     """Opt-in best-weights capture (the reference never restores best)."""
     from physics_informed_image_segmentation_tpu.train import LossConfig, load_params
