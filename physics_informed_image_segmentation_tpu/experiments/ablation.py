@@ -213,6 +213,18 @@ def _comparison_json(comparison: dict, a: str, b: str, with_pct: bool) -> dict:
     return out
 
 
+def _persist_result(result: Dict, path: Path) -> Dict:
+    """Write a variant's full results dict next to its artifacts.
+
+    The per-variant ``{stem}_results.json`` is the study-resume unit:
+    ``run_ablation_study(resume_from=...)`` reloads it instead of
+    retraining the variant (net-new; the reference restarts the whole
+    study on any crash)."""
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
 def run_ablation_variant(
     config: AblationConfig,
     *,
@@ -456,7 +468,7 @@ def run_ablation_variant(
             state.params, ablation_folder / f"{stem}_after_stage3.msgpack"
         )
         print(f"Saved final model (after Stage III) to: {model_path}")
-        return {
+        return _persist_result({
             "config": config.to_dict(),
             "model_path": str(model_path),
             "pde_model_path": str(pde_model_path) if pde_model_path else None,
@@ -484,7 +496,7 @@ def run_ablation_variant(
                     for d in ("in_dist", "out_dist")
                 },
             },
-        }
+        }, ablation_folder / f"{stem}_results.json")
 
     # ------------------------------------------ single-stage return path
     if not (config.use_two_stage and config.use_pde):
@@ -494,13 +506,13 @@ def run_ablation_variant(
         print(f"Model saved to: {model_path}")
         print("\nEvaluating on test sets...")
         test_metrics = _eval_both(model, state.params, in_dist, out_dist, batch_size)
-        return {
+        return _persist_result({
             "config": config.to_dict(),
             "model_path": str(model_path),
             "in_dist_metrics": _np_dict(test_metrics["in_dist"]),
             "out_dist_metrics": _np_dict(test_metrics["out_dist"]),
             "metrics": _np_dict(test_metrics["in_dist"]),
-        }
+        }, ablation_folder / f"{stem}_results.json")
 
     # ------------------------------------- two-stage + PDE return path
     if baseline_test_metrics is None or pde_test_metrics is None or comparison_results is None:
@@ -508,7 +520,7 @@ def run_ablation_variant(
             f"Stage comparison variables not set for {config.name}. "
             "This should only happen for two-stage with PDE configurations."
         )
-    return {
+    return _persist_result({
         "config": config.to_dict(),
         "model_path": str(pde_model_path),
         "baseline_model_path": str(baseline_model_path),
@@ -536,7 +548,7 @@ def run_ablation_variant(
             }
             for d in ("in_dist", "out_dist")
         },
-    }
+    }, ablation_folder / f"{stem}_results.json")
 
 
 def run_ablation_study(
@@ -561,18 +573,37 @@ def run_ablation_study(
     precision: str = "bf16",
     physics_backend: str = "auto",
     base_channels: int = 64,
+    resume_from=None,
 ) -> Dict:
     """Run a complete study (/root/reference/src/ablation.py:1240-1473).
 
     Datasets may be given as directories+JSONs (decoded once here) or
     pre-built via ``datasets={'train','val','in_dist','out_dist'}``.
+
+    ``resume_from``: path to an interrupted study's
+    ``{name}_{timestamp}`` folder.  Variants whose
+    ``{stem}_results.json`` exists there are loaded instead of
+    retrained (each variant persists its full results dict on
+    completion); only the missing variants run, into the same folder,
+    and aggregation/summary artifacts are rewritten over the whole set.
+    Net-new capability — the reference restarts a crashed study from
+    scratch.
     """
     results_root = (
         Path(output_dir) if output_dir is not None else Path.cwd() / "output" / "ablation"
     )
     results_root.mkdir(parents=True, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-    ablation_folder = results_root / f"{ablation_name}_{timestamp}"
+    if resume_from is not None:
+        ablation_folder = Path(resume_from)
+        if not ablation_folder.is_dir():
+            raise FileNotFoundError(f"resume_from folder not found: {ablation_folder}")
+        prefix = f"{ablation_name}_"
+        if ablation_folder.name.startswith(prefix):
+            # keep the interrupted run's timestamp in artifact names
+            timestamp = ablation_folder.name[len(prefix):]
+    else:
+        ablation_folder = results_root / f"{ablation_name}_{timestamp}"
     ablation_folder.mkdir(parents=True, exist_ok=True)
 
     print("=" * 70)
@@ -594,22 +625,30 @@ def run_ablation_study(
             "out_dist": load(out_dist_test_dir, out_dist_test_json),
         }
 
-    all_results = [
-        run_ablation_variant(
-            variant,
-            datasets=datasets,
-            batch_size=batch_size,
-            learning_rate=learning_rate,
-            stage1_epochs=stage1_epochs,
-            stage2_epochs=stage2_epochs,
-            early_stopping_patience=early_stopping_patience,
-            ablation_folder=ablation_folder,
-            precision=precision,
-            physics_backend=physics_backend,
-            base_channels=base_channels,
+    all_results = []
+    for variant in variants:
+        done_json = ablation_folder / f"{_snake(variant.name)}_results.json"
+        if resume_from is not None and done_json.exists():
+            with open(done_json) as f:
+                all_results.append(json.load(f))
+            print(f"\n[resume] variant '{variant.name}': loaded completed "
+                  f"results from {done_json.name} — skipping retrain")
+            continue
+        all_results.append(
+            run_ablation_variant(
+                variant,
+                datasets=datasets,
+                batch_size=batch_size,
+                learning_rate=learning_rate,
+                stage1_epochs=stage1_epochs,
+                stage2_epochs=stage2_epochs,
+                early_stopping_patience=early_stopping_patience,
+                ablation_folder=ablation_folder,
+                precision=precision,
+                physics_backend=physics_backend,
+                base_channels=base_channels,
+            )
         )
-        for variant in variants
-    ]
 
     # ----------------------------------------------------- aggregation
     aggregated_in, aggregated_out = {}, {}

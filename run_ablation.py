@@ -4,9 +4,11 @@ Runs R1–R3 / S1–S3 studies (or `all`), with the reference's deprecated
 --test-dir/--test-json legacy aliasing onto the in-distribution split
 (/root/reference/run_ablation.py:424-427).
 
-TPU-build extra: ``--batched`` runs the sensitivity studies (S1–S3) as a
-single vmapped launch over the hyper-parameter grid (see
-physics_informed_image_segmentation_tpu.experiments.sweep).
+TPU-build extras: ``--batched`` runs the sensitivity studies (S1–S3) as
+a single vmapped launch over the hyper-parameter grid (see
+physics_informed_image_segmentation_tpu.experiments.sweep);
+``--resume [STUDY_DIR]`` continues an interrupted study, loading
+completed variants' results and retraining only the missing ones.
 """
 
 import argparse
@@ -79,7 +81,18 @@ def main():
         "--batched", action="store_true",
         help="Run S1-S3 sensitivity grids as one vmapped TPU launch",
     )
+    parser.add_argument(
+        "--resume", type=str, nargs="?", const="latest", default=None,
+        metavar="STUDY_DIR",
+        help="Resume an interrupted study: completed variants (their "
+             "{stem}_results.json exists) are loaded, only missing "
+             "variants retrain.  Pass the study folder, or no value to "
+             "pick the latest {name}_* folder under the output root.",
+    )
     args = parser.parse_args()
+
+    if args.resume is not None and args.batched:
+        parser.error("--resume applies to the serial study runner, not --batched")
 
     in_dist_test_dir = Path(args.in_dist_test_dir).resolve()
     in_dist_test_json = Path(args.in_dist_test_json).resolve()
@@ -131,6 +144,26 @@ def main():
                 base_channels=args.base_channels,
             )
         else:
+            resume_from = None
+            if args.resume is not None:
+                root = (
+                    Path(args.output_dir).resolve()
+                    if args.output_dir
+                    else Path.cwd() / "output" / "ablation"
+                )
+                if args.resume == "latest":
+                    candidates = sorted(
+                        root.glob(f"{ablation_name}_*"),
+                        key=lambda p: p.stat().st_mtime,
+                    )
+                    if not candidates:
+                        parser.error(
+                            f"--resume: no {ablation_name}_* study folder under {root}"
+                        )
+                    resume_from = candidates[-1]
+                else:
+                    resume_from = Path(args.resume).resolve()
+                print(f"Resuming study from: {resume_from}")
             results = run_ablation_study(
                 ablation_name=ablation_name,
                 variants=variants,
@@ -151,6 +184,7 @@ def main():
                 precision=args.precision,
                 physics_backend=args.physics_backend,
                 base_channels=args.base_channels,
+                resume_from=resume_from,
             )
 
         print(f"\nAblation {ablation_name} complete!")

@@ -162,6 +162,45 @@ class TestStudy:
         assert Path(res["summary_csv_in_dist"]).exists()
         assert Path(res["summary_csv_out_dist"]).exists()
 
+    def test_study_resume_skips_completed_variants(
+        self, datasets, tmp_path, monkeypatch
+    ):
+        """resume_from reloads completed variants' {stem}_results.json
+        and retrains only the missing ones, into the same folder."""
+        import physics_informed_image_segmentation_tpu.experiments.ablation as abl
+
+        variants = [
+            AblationConfig(name="M2.0 Baseline", description="d", use_pde=False,
+                           use_two_stage=False),
+            AblationConfig(name="M2.1 Full", description="d", use_pde=True,
+                           pde_weight=1e-4, phase_field_weight=1e-4),
+        ]
+        res = run_ablation_study(
+            "MINI2", variants, datasets=datasets, output_dir=tmp_path, **_FAST
+        )
+        folder = Path(res["ablation_folder"])
+        assert (folder / "m2.0_baseline_results.json").exists()
+        # simulate a crash that lost the second variant's results
+        (folder / "m2.1_full_results.json").unlink()
+
+        retrained = []
+        real = abl.run_ablation_variant
+        monkeypatch.setattr(
+            abl, "run_ablation_variant",
+            lambda cfg, **kw: retrained.append(cfg.name) or real(cfg, **kw),
+        )
+        res2 = run_ablation_study(
+            "MINI2", variants, datasets=datasets, output_dir=tmp_path,
+            resume_from=folder, **_FAST,
+        )
+        assert retrained == ["M2.1 Full"]          # baseline variant skipped
+        assert res2["ablation_folder"] == str(folder)
+        data = json.loads(Path(res2["results_json"]).read_text())
+        assert [r["config"]["name"] for r in data["results"]] == [
+            "M2.0 Baseline", "M2.1 Full",
+        ]
+        assert "M2.1 Full" in data["aggregated_results_out_dist"]
+
 
 class TestComparison:
     def test_evaluate_and_compare(self, datasets, tmp_path):
