@@ -52,8 +52,16 @@ def _state_pytree(state):
     }
 
 
-def save_train_state(state, ckpt_dir, step: Optional[int] = None) -> Path:
-    """Full-state checkpoint (resume-capable) under ``ckpt_dir/step_N``."""
+def save_train_state(
+    state, ckpt_dir, step: Optional[int] = None, keep: Optional[int] = None
+) -> Path:
+    """Full-state checkpoint (resume-capable) under ``ckpt_dir/step_N``.
+
+    ``keep``: retention — after saving, delete all but the newest
+    ``keep`` ``step_*`` checkpoints in ``ckpt_dir`` (a full train state
+    is ~3× params ≈ 250 MB at base_channels=64, so per-epoch
+    checkpointing needs bounding).  ``None`` keeps everything.
+    """
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
@@ -62,6 +70,16 @@ def save_train_state(state, ckpt_dir, step: Optional[int] = None) -> Path:
     path = ckpt_dir / f"step_{step}"
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(_state_pytree(state)), force=True)
+    if keep is not None and keep > 0:
+        import shutil
+
+        steps = sorted(
+            int(p.name.split("_")[1])
+            for p in ckpt_dir.iterdir()
+            if p.is_dir() and p.name.startswith("step_")
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(ckpt_dir / f"step_{old}", ignore_errors=True)
     return path
 
 

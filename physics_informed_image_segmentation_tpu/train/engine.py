@@ -576,6 +576,7 @@ def train_stage(
     epoch_callback=None,
     checkpoint_dir=None,
     checkpoint_every: int = 0,
+    checkpoint_keep: Optional[int] = 2,
     timing_out: Optional[dict] = None,
     save_best_path=None,
     initial_metrics: Optional[list[dict]] = None,
@@ -589,7 +590,9 @@ def train_stage(
     ``checkpoint_dir``/``checkpoint_every``: save a full Orbax
     train-state (params+optimizer+step+PRNG) every N epochs — the
     resume capability the reference lacks (SURVEY.md §5); restore with
-    :func:`.checkpoint.restore_train_state`.
+    :func:`.checkpoint.restore_train_state`.  ``checkpoint_keep``
+    bounds retention to the newest N step checkpoints (default 2;
+    ``None`` keeps all — a full state is ~250 MB at base_channels=64).
 
     ``initial_metrics``: resume support — epoch rows already completed
     by an interrupted run (``state`` must be the matching restored
@@ -707,7 +710,7 @@ def train_stage(
             save_metrics_to_csv(all_metrics, csv_path)
         if checkpoint_dir is not None and checkpoint_every > 0:
             if (epoch + 1) % checkpoint_every == 0 or epoch + 1 == num_epochs:
-                save_train_state(state, checkpoint_dir)
+                save_train_state(state, checkpoint_dir, keep=checkpoint_keep)
         if epoch_callback is not None:
             epoch_callback(epoch + 1, epoch_metrics)
 

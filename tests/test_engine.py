@@ -210,6 +210,25 @@ class TestCheckpoint:
         s2, r2 = train_fn(restored, data.images, data.masks, idx, valid)
         assert float(r1["loss"]) == float(r2["loss"])
 
+    def test_retention_keeps_newest(self, tiny_setup, tmp_path):
+        """keep=N deletes all but the newest N step_* checkpoints."""
+        from physics_informed_image_segmentation_tpu.train.checkpoint import (
+            latest_checkpoint_step,
+        )
+
+        _, state, _ = tiny_setup
+        ckpt_dir = tmp_path / "ckpt"
+        for step in (1, 2, 3, 4):
+            save_train_state(state, ckpt_dir, step=step, keep=2)
+        kept = sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir())
+        assert kept == ["step_3", "step_4"]
+        assert latest_checkpoint_step(ckpt_dir) == 4
+        # keep=None retains everything
+        for step in (5, 6):
+            save_train_state(state, ckpt_dir, step=step)
+        assert latest_checkpoint_step(ckpt_dir) == 6
+        assert len(list(ckpt_dir.iterdir())) == 4
+
 
 class TestStageCheckpointing:
     def test_periodic_checkpoints_written_and_restorable(self, tiny_setup, tmp_path):
