@@ -101,6 +101,11 @@ def main():
              "under {models}/checkpoints/ (default: 0 = off)",
     )
     parser.add_argument(
+        "--checkpoint-keep", type=int, default=2,
+        help="Retain only the newest N train-state checkpoints per stage "
+             "(default: 2; 0 = keep all — each is ~250 MB at base-channels 64)",
+    )
+    parser.add_argument(
         "--resume", action="store_true",
         help="Continue an interrupted run in the same output/models dirs: "
              "completed stages are skipped, a partial stage restarts from "
@@ -129,6 +134,7 @@ def main():
         make_plots=not args.no_plots,
         base_channels=args.base_channels,
         checkpoint_every=args.checkpoint_every,
+        checkpoint_keep=args.checkpoint_keep or None,
         resume=args.resume,
     )
 

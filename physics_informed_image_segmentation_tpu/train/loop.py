@@ -155,6 +155,7 @@ def train(
     make_plots: bool = True,
     verbose: bool = True,
     checkpoint_every: int = 0,
+    checkpoint_keep: Optional[int] = 2,
     resume: bool = False,
     base_channels: int = 64,
 ) -> dict:
@@ -167,7 +168,9 @@ def train(
     directory layout under ``data_root`` is used.  ``checkpoint_every``
     > 0 writes full Orbax train-state checkpoints every N epochs under
     ``{models_dir}/checkpoints/{stage}`` (restore with
-    :func:`.checkpoint.restore_train_state`).
+    :func:`.checkpoint.restore_train_state`); ``checkpoint_keep``
+    bounds retention to the newest N per stage (default 2, ``None``
+    keeps all — a full state is ~250 MB at base_channels=64).
 
     ``resume=True`` continues an interrupted run in the same
     ``output_dir``/``models_dir`` (same hyperparameters assumed):
@@ -321,6 +324,7 @@ def train(
             timing_out=_t_s1,
             checkpoint_dir=ckpt_dir_s1,
             checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep,
             initial_metrics=init1,
         )
         n_images_trained += (len(s1_metrics) - len(init1 or [])) * train_data.n
@@ -403,6 +407,7 @@ def train(
             timing_out=_t_s2,
             checkpoint_dir=ckpt_dir_s2,
             checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep,
             initial_metrics=init2,
         )
         n_images_trained += (len(s2_metrics) - len(init2 or [])) * train_data.n
@@ -474,6 +479,7 @@ def train(
             timing_out=_t_single,
             checkpoint_dir=ckpt_dir_single,
             checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep,
             initial_metrics=init_s,
         )
         n_images_trained += (len(s_metrics) - len(init_s or [])) * train_data.n

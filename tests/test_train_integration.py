@@ -72,6 +72,17 @@ def test_two_stage_end_to_end(tmp_path, blob_splits):
     assert res["images_per_sec"] > 0
 
 
+def test_checkpoint_keep_bounds_retention(tmp_path, blob_splits):
+    """train(checkpoint_every=1, checkpoint_keep=1) leaves one step_*
+    checkpoint per stage."""
+    _small_train(tmp_path, blob_splits, checkpoint_every=1, checkpoint_keep=1)
+    for stage in ("stage1", "stage2"):
+        ckpts = [p.name for p in
+                 (tmp_path / "models" / "checkpoints" / stage).iterdir()
+                 if p.is_dir()]
+        assert len(ckpts) == 1, (stage, ckpts)
+
+
 def test_single_stage(tmp_path, blob_splits):
     res = _small_train(tmp_path, blob_splits, use_two_stage=False)
     assert "baseline_model" not in res
