@@ -21,6 +21,7 @@ Usage (steps are independent / resumable):
     python scripts/parity_ablation.py reference-resume  # resume from the
                                   # checkpoints of an interrupted `reference`
     python scripts/parity_ablation.py ours        # this framework
+    python scripts/parity_ablation.py bootstrap   # verdict-stability resampling
     python scripts/parity_ablation.py report      # assemble PARITY_ABLATION.md
 
 The reference runs black-box from a /tmp copy via its own public API
@@ -312,6 +313,78 @@ def _fmt_sig(c: dict) -> str:
             + ("SIG" if c["significant"] else "ns"))
 
 
+# stage-comparison label -> (per-image array prefix A, prefix B)
+_PAIR_ARRAYS = {
+    "stage1_vs_stage2": ("baseline", "pde"),
+    "stage1_vs_stage3": ("baseline", "stage3"),
+    "stage2_vs_stage3": ("pde", "stage3"),
+}
+
+
+def bootstrap(n_boot: int = 1000, seed: int = 0) -> None:
+    """Bootstrap stability of every significance verdict.
+
+    For each of the 40 stage-comparison cells, resample the 50 paired
+    per-image metric values with replacement and recompute the
+    reference's either-p significance rule
+    (/root/reference/src/evaluate.py:372-438: paired t-test OR Wilcoxon
+    p < 0.05).  The output, P(SIG) per cell per framework, quantifies
+    how stable each binary verdict is at n=50 — the evidence behind the
+    "near-threshold flips under seed noise" reading of the
+    disagreements.  Writes ``artifacts/parity_ablation/bootstrap.json``;
+    ``report`` folds it in when present.
+    """
+    import numpy as np
+    from scipy import stats as sstats
+
+    def p_sig(a, b, rng) -> float:
+        a = np.asarray(a, float)
+        b = np.asarray(b, float)
+        ok = ~(np.isnan(a) | np.isnan(b))
+        a, b = a[ok], b[ok]
+        n = len(a)
+        hits = 0
+        for _ in range(n_boot):
+            idx = rng.integers(0, n, n)
+            x, y = a[idx], b[idx]
+            d = x - y
+            if not np.any(d != 0):
+                continue  # identical resample: both tests undefined/ns
+            tp = sstats.ttest_rel(x, y).pvalue
+            try:
+                wp = sstats.wilcoxon(x, y).pvalue
+            except ValueError:
+                wp = 1.0
+            if tp < 0.05 or wp < 0.05:
+                hits += 1
+        return hits / n_boot
+
+    out: dict[str, dict[str, float]] = {}
+    rng = np.random.default_rng(seed)
+    for side, study in (("reference", _load_study(ART / "reference")),
+                        ("ours", _load_study(ART / "ours"))):
+        for r in study["results"]:
+            vname = r["config"]["name"]
+            sc = r.get("stage_comparison")
+            if not sc:
+                continue
+            pairs = (list(_PAIR_ARRAYS) if "stage1_vs_stage2" in sc
+                     else ["stage1_vs_stage2"])
+            for pair in pairs:
+                ka, kb = _PAIR_ARRAYS[pair]
+                for dist in ("in_dist", "out_dist"):
+                    ma = r[f"{ka}_{dist}_metrics"]
+                    mb = r[f"{kb}_{dist}_metrics"]
+                    for m in _METRICS:
+                        key = f"{vname}|{pair}|{dist}|{m}"
+                        out.setdefault(key, {})[side] = p_sig(
+                            ma[m], mb[m], rng)
+                        print(key, side, out[key][side], flush=True)
+    with open(ART / "bootstrap.json", "w") as f:
+        json.dump({"n_boot": n_boot, "seed": seed, "p_sig": out}, f, indent=1)
+    print(f"wrote {ART / 'bootstrap.json'} ({len(out)} cells)")
+
+
 def report() -> None:
     ref = _load_study(ART / "reference")
     ours = _load_study(ART / "ours")
@@ -383,6 +456,7 @@ def report() -> None:
                         m in ("dice_scores", "iou_scores")
                         and label == "stage1_vs_stage2",
                         rc["significant"], oc["significant"], near,
+                        f"{vname}|{label}|{dist}|{m}",
                     ))
                     lines.append(
                         f"| {vname} | {label} | {dist} | {_SHORT[m]} | "
@@ -404,10 +478,10 @@ def report() -> None:
 
     # ------------------------------------------------- verdict synthesis
     n = len(verdicts)
-    n_agree = sum(r == o for _, r, o, _ in verdicts)
-    prim = [(r, o) for p, r, o, _ in verdicts if p]
+    n_agree = sum(r == o for _, r, o, _, _ in verdicts)
+    prim = [(r, o) for p, r, o, _, _ in verdicts if p]
     prim_agree = sum(r == o for r, o in prim)
-    dis_near = sum(near for _, r, o, near in verdicts if r != o)
+    dis_near = sum(near for _, r, o, near, _ in verdicts if r != o)
     lines += [
         "",
         "## Verdict agreement",
@@ -428,6 +502,59 @@ def report() -> None:
         "  three-stage control's Stage II vs Stage III Dice/IoU comparison is",
         "  not significant in-dist (the PDE gain is not just extra epochs).",
     ]
+
+    # ------------------------------------------- bootstrap stability
+    boot_path = ART / "bootstrap.json"
+    if boot_path.exists():
+        boot = json.loads(boot_path.read_text())
+        psig = boot["p_sig"]
+        dis = [(key, psig[key]) for _, r, o, _, key in verdicts
+               if r != o and key in psig]
+        agree_keys = [key for _, r, o, _, key in verdicts
+                      if r == o and key in psig]
+        # stability = how far P(SIG) sits from the 50/50 coin flip; an
+        # agreeing cell should be decisive (near 0 or 1) on both sides.
+        decisive = sum(
+            1 for k in agree_keys
+            if all(p <= 0.10 or p >= 0.90 for p in psig[k].values())
+        )
+        unstable_dis = sum(
+            1 for _, ps in dis
+            if any(0.10 < p < 0.90 for p in ps.values())
+        )
+        lines += [
+            "",
+            "## Verdict stability under bootstrap resampling",
+            "",
+            f"Each verdict's stability was measured by {boot['n_boot']}× bootstrap",
+            "resampling of the 50 paired per-image values and recomputing the",
+            "either-p rule (`scripts/parity_ablation.py bootstrap`): P(SIG) near",
+            "0 or 1 means the call is decisive; intermediate values mean the",
+            "binary cut at p=0.05 is a coin flip at this sample size.",
+            "",
+            f"- {decisive}/{len(agree_keys)} *agreeing* cells are decisive",
+            "  (P(SIG) ≤ 0.10 or ≥ 0.90 in both frameworks).",
+            f"- {unstable_dis}/{len(dis)} *disagreeing* cells are unstable in at",
+            "  least one framework — those disagreements are test-set sampling",
+            "  noise at n=50.  The remaining decisive-but-opposite cells are",
+            "  seed-level training noise: the two single-seed R1.3 models land",
+            "  at slightly different Boundary-F1/Hausdorff endpoints (means",
+            "  differ in the third decimal, table above), and at near-ceiling",
+            "  values that shifts a genuine per-image delta in or out of",
+            "  detectability.  Neither kind implicates the statistics",
+            "  machinery, which agrees cell-for-cell when fed the same arrays",
+            "  (`tests/test_stats.py` golden tests vs scipy).",
+            "",
+            "| disagreeing cell | ref P(SIG) | ours P(SIG) |",
+            "|---|---|---|",
+        ]
+        for key, ps in dis:
+            vname, pair, dist, m = key.split("|")
+            lines.append(
+                f"| {vname} {pair} {dist} {_SHORT[m]} | "
+                f"{ps.get('reference', float('nan')):.2f} | "
+                f"{ps.get('ours', float('nan')):.2f} |"
+            )
 
     # ---------------------------------------------------- structure check
     ref_keys, ours_keys = set(ref.keys()), set(ours.keys())
@@ -460,4 +587,4 @@ if __name__ == "__main__":
     step = sys.argv[1] if len(sys.argv) > 1 else "report"
     {"data": make_data, "reference": run_reference,
      "reference-resume": run_reference_resume, "ours": run_ours,
-     "report": report}[step]()
+     "bootstrap": bootstrap, "report": report}[step]()
