@@ -73,26 +73,28 @@ def save_train_state(
     if keep is not None and keep > 0:
         import shutil
 
-        steps = sorted(
-            int(p.name.split("_")[1])
-            for p in ckpt_dir.iterdir()
-            if p.is_dir() and p.name.startswith("step_")
-        )
-        for old in steps[:-keep]:
+        for old in _checkpoint_steps(ckpt_dir)[:-keep]:
             shutil.rmtree(ckpt_dir / f"step_{old}", ignore_errors=True)
     return path
+
+
+def _checkpoint_steps(ckpt_dir: Path) -> list[int]:
+    """Sorted complete ``step_N`` checkpoints; ignores non-numeric
+    suffixes such as Orbax's ``step_N.orbax-checkpoint-tmp-*`` left by
+    an interrupted save."""
+    return sorted(
+        int(p.name[5:])
+        for p in ckpt_dir.iterdir()
+        if p.is_dir() and p.name.startswith("step_") and p.name[5:].isdigit()
+    )
 
 
 def latest_checkpoint_step(ckpt_dir) -> Optional[int]:
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
-    steps = [
-        int(p.name.split("_")[1])
-        for p in ckpt_dir.iterdir()
-        if p.is_dir() and p.name.startswith("step_")
-    ]
-    return max(steps) if steps else None
+    steps = _checkpoint_steps(ckpt_dir)
+    return steps[-1] if steps else None
 
 
 def restore_train_state(state, ckpt_dir, step: Optional[int] = None):

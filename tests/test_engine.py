@@ -223,11 +223,18 @@ class TestCheckpoint:
         kept = sorted(p.name for p in ckpt_dir.iterdir() if p.is_dir())
         assert kept == ["step_3", "step_4"]
         assert latest_checkpoint_step(ckpt_dir) == 4
+        # interrupted-save leftovers are ignored by retention and resume
+        tmp_leftover = ckpt_dir / "step_9.orbax-checkpoint-tmp-123"
+        tmp_leftover.mkdir()
+        assert latest_checkpoint_step(ckpt_dir) == 4
+        save_train_state(state, ckpt_dir, step=5, keep=2)
+        assert latest_checkpoint_step(ckpt_dir) == 5
+        assert tmp_leftover.exists()  # retention never touches tmp dirs
+        tmp_leftover.rmdir()
         # keep=None retains everything
-        for step in (5, 6):
-            save_train_state(state, ckpt_dir, step=step)
+        save_train_state(state, ckpt_dir, step=6)
         assert latest_checkpoint_step(ckpt_dir) == 6
-        assert len(list(ckpt_dir.iterdir())) == 4
+        assert len(list(ckpt_dir.iterdir())) == 3  # steps 4, 5, 6
 
 
 class TestStageCheckpointing:
