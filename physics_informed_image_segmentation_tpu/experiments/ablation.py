@@ -31,6 +31,7 @@ variant) and stay on device; training epochs are jitted scans.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import asdict, dataclass
 from datetime import datetime
 from pathlib import Path
@@ -219,9 +220,13 @@ def _persist_result(result: Dict, path: Path) -> Dict:
     The per-variant ``{stem}_results.json`` is the study-resume unit:
     ``run_ablation_study(resume_from=...)`` reloads it instead of
     retraining the variant (net-new; the reference restarts the whole
-    study on any crash)."""
-    with open(path, "w") as f:
+    study on any crash).  Written atomically (tmp + ``os.replace``) so
+    the crash this feature exists for can't leave a truncated file that
+    would itself break the resume."""
+    tmp = path.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
         json.dump(result, f, indent=2)
+    os.replace(tmp, path)
     return result
 
 
@@ -629,11 +634,16 @@ def run_ablation_study(
     for variant in variants:
         done_json = ablation_folder / f"{_snake(variant.name)}_results.json"
         if resume_from is not None and done_json.exists():
-            with open(done_json) as f:
-                all_results.append(json.load(f))
-            print(f"\n[resume] variant '{variant.name}': loaded completed "
-                  f"results from {done_json.name} — skipping retrain")
-            continue
+            try:
+                with open(done_json) as f:
+                    all_results.append(json.load(f))
+            except json.JSONDecodeError:
+                print(f"\n[resume] variant '{variant.name}': {done_json.name} "
+                      "is corrupt (interrupted write?) — retraining")
+            else:
+                print(f"\n[resume] variant '{variant.name}': loaded completed "
+                      f"results from {done_json.name} — skipping retrain")
+                continue
         all_results.append(
             run_ablation_variant(
                 variant,

@@ -56,16 +56,42 @@ def load_device_dataset(image_dir, annotation_file, image_size=(128, 128)) -> De
 
 
 def _read_metric_rows(csv_path: Path) -> list[dict]:
-    """Load per-epoch rows from a 17-column stage CSV (resume replay)."""
+    """Load per-epoch rows from a 17-column stage CSV (resume replay).
+
+    The stage CSV is fully rewritten every epoch, so a crash mid-write
+    can leave a truncated final line; such a row (missing fields or
+    unparseable numbers) and anything after it are dropped rather than
+    crashing the resume.
+    """
     import csv
 
     rows: list[dict] = []
     with open(csv_path, newline="") as f:
         for r in csv.DictReader(f):
-            row = {k: (int(v) if k == "epoch" else float(v))
-                   for k, v in r.items()}
+            try:
+                row = {k: (int(v) if k == "epoch" else float(v))
+                       for k, v in r.items()}
+            except (TypeError, ValueError):
+                break  # truncated trailing row from an interrupted rewrite
             rows.append(row)
     return rows
+
+
+def _rows_cover_stage(rows: list[dict], num_epochs: int, patience: int) -> bool:
+    """Whether a stage CSV proves its stage ran to completion: either all
+    ``num_epochs`` rows are present or early stopping (same parameters as
+    the live loop) triggers within the logged epochs.  Guards against a
+    stale final artifact from an older run sitting next to a newer,
+    partial CSV — without this, resume would declare the stage done and
+    silently continue from the wrong params."""
+    if len(rows) >= num_epochs:
+        return True
+    from .engine import EarlyStopping
+
+    probe = EarlyStopping(patience, 1e-4, "max")
+    return any(
+        probe(float(r["val_dice_score"]), int(r["epoch"])) for r in rows
+    )
 
 
 def _stage_resume(
@@ -76,17 +102,26 @@ def _stage_resume(
     checkpoint_dir: Optional[Path],
     final_artifact: Optional[Path],
     steps_per_epoch: int,
+    num_epochs: int,
+    patience: int,
     verbose: bool,
+    min_mtime: Optional[float] = None,
 ):
     """Resume plan for one stage: ``(state, initial_metrics, csv_path)``.
 
-    Priority: (1) the stage's final artifact exists -> the whole stage
-    is done; load its params and replay every CSV row (the stage loop
-    then runs zero new epochs).  (2) an Orbax checkpoint exists ->
+    Priority: (1) the stage's final artifact exists AND the CSV shows
+    the stage ran to completion (all epochs logged, or early stopping
+    triggered) -> load its params and replay every CSV row (the stage
+    loop then runs zero new epochs).  (2) an Orbax checkpoint exists ->
     restore the full train-state and replay the CSV rows up to the
     checkpointed epoch (epochs after the last checkpoint re-run and,
     being keyed on epoch index / state.step, reproduce identically).
     (3) nothing to resume -> ``(state, None, None)``.
+
+    A final artifact whose CSV is only partial is a STALE artifact from
+    an earlier completed run in the same directories; it is ignored
+    (falling through to checkpoint restore or a fresh stage) instead of
+    being mistaken for this run's completion.
 
     The latest ``metrics_<stage>_*.csv`` under ``output_dir`` is the
     interrupted run's log; resume continues appending to that same file.
@@ -95,16 +130,29 @@ def _stage_resume(
     if not csvs:
         return state, None, None
     prev_csv = csvs[-1]
+    if min_mtime is not None and prev_csv.stat().st_mtime < min_mtime:
+        # Stage II always starts after Stage I finishes, so a stage-II
+        # log older than the stage-I log being continued belongs to an
+        # EARLIER run sharing these directories — nothing to resume.
+        if verbose:
+            print(f"[resume] ignoring {prev_csv.name}: older than this "
+                  "run's previous stage — stale leftover from an earlier run")
+        return state, None, None
     rows = _read_metric_rows(prev_csv)
 
     if final_artifact is not None and final_artifact.exists() and rows:
-        from .checkpoint import load_params
+        if _rows_cover_stage(rows, num_epochs, patience):
+            from .checkpoint import load_params
 
-        params = load_params(final_artifact, template=state.params)
+            params = load_params(final_artifact, template=state.params)
+            if verbose:
+                print(f"[resume] stage already complete: {final_artifact.name} "
+                      f"+ {prev_csv.name} ({len(rows)} epochs)")
+            return state.replace(params=params), rows, prev_csv
         if verbose:
-            print(f"[resume] stage already complete: {final_artifact.name} "
-                  f"+ {prev_csv.name} ({len(rows)} epochs)")
-        return state.replace(params=params), rows, prev_csv
+            print(f"[resume] ignoring stale {final_artifact.name}: "
+                  f"{prev_csv.name} covers only {len(rows)}/{num_epochs} "
+                  "epochs with no early stop")
 
     if checkpoint_dir is not None:
         from .checkpoint import latest_checkpoint_step, restore_train_state
@@ -303,6 +351,8 @@ def train(
                 checkpoint_dir=ckpt_dir_s1,
                 final_artifact=models_dir / "unet_baseline.msgpack",
                 steps_per_epoch=num_batches(train_data.n, batch_size),
+                num_epochs=stage1_epochs,
+                patience=early_stopping_patience,
                 verbose=verbose,
             )
             if prev_csv is not None:
@@ -386,7 +436,11 @@ def train(
                 checkpoint_dir=ckpt_dir_s2,
                 final_artifact=models_dir / "unet_pde_regularized.msgpack",
                 steps_per_epoch=num_batches(train_data.n, batch_size),
+                num_epochs=stage2_epochs,
+                patience=early_stopping_patience,
                 verbose=verbose,
+                min_mtime=(Path(csv_path_stage1).stat().st_mtime
+                           if Path(csv_path_stage1).exists() else None),
             )
             if prev_csv is not None:
                 csv_path_stage2 = prev_csv
@@ -458,6 +512,8 @@ def train(
                 checkpoint_dir=ckpt_dir_single,
                 final_artifact=models_dir / "unet_pde_regularized.msgpack",
                 steps_per_epoch=num_batches(train_data.n, batch_size),
+                num_epochs=stage1_epochs,
+                patience=early_stopping_patience,
                 verbose=verbose,
             )
             if prev_csv is not None:

@@ -295,8 +295,8 @@ def run_ours() -> None:
     print(f"our artifacts -> {out}")
 
 
-def _load_study(d: Path) -> dict:
-    js = sorted(d.rglob("ablation_R1_*.json"))
+def _load_study(d: Path, study: str = "R1") -> dict:
+    js = sorted(d.rglob(f"ablation_{study}_*.json"))
     if not js:
         raise FileNotFoundError(f"no ablation json under {d}")
     with open(js[-1]) as f:

@@ -31,8 +31,9 @@ import textwrap
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-if str(REPO) not in sys.path:
-    sys.path.insert(0, str(REPO))
+for _p in (REPO, REPO / "scripts"):
+    if str(_p) not in sys.path:
+        sys.path.insert(0, str(_p))
 
 DATA_ROOT = Path("/tmp/parity_data")
 REF_RUN = Path("/tmp/refrep")
@@ -247,12 +248,11 @@ def report() -> None:
         "comparisons: `artifacts/parity_repeated/{reference,ours}/`.",
         "",
     ]
-    path = REPO / "PARITY_RUN.md"
-    existing = path.read_text()
-    marker = "## Multi-seed repeated evaluations"
-    if marker in existing:
-        existing = existing[: existing.index(marker)].rstrip() + "\n"
-    path.write_text(existing + "\n".join(lines))
+    from parity_run import upsert_section
+
+    upsert_section(
+        REPO / "PARITY_RUN.md", "## Multi-seed repeated evaluations", lines
+    )
     print("\n".join(lines))
 
 

@@ -252,6 +252,23 @@ def _metric_tables(ref: dict, ours: dict) -> list:
     return lines
 
 
+def upsert_section(path: Path, marker: str, lines: list) -> None:
+    """Replace in place ONLY the section starting at ``marker`` (up to
+    the next ``## `` heading) — or append it — so independently
+    re-runnable report steps never delete each other's later sections."""
+    existing = path.read_text()
+    section = "\n".join(lines).strip("\n")
+    if marker in existing:
+        start = existing.index(marker)
+        nxt = existing.find("\n## ", start + len(marker))
+        parts = [existing[:start].rstrip("\n"), section]
+        if nxt != -1:
+            parts.append(existing[nxt + 1:].rstrip("\n"))
+        path.write_text("\n\n".join(parts) + "\n")
+    else:
+        path.write_text(existing.rstrip("\n") + "\n\n" + section + "\n")
+
+
 def report(cfg: Cfg) -> None:
     ref = _load_comparison(cfg.art / "reference")
     ours = _load_comparison(cfg.art / "ours")
@@ -277,12 +294,9 @@ def report(cfg: Cfg) -> None:
             f"Raw artifacts: `artifacts/parity_{cfg.tag}/`.",
             "",
         ]
-        path = REPO / "PARITY_RUN.md"
-        existing = path.read_text()
-        marker = f"## Tagged run: `{cfg.tag}`"
-        if marker in existing:
-            existing = existing[: existing.index(marker)].rstrip() + "\n"
-        path.write_text(existing + "\n".join(lines))
+        upsert_section(
+            REPO / "PARITY_RUN.md", f"## Tagged run: `{cfg.tag}`", lines
+        )
         print("\n".join(lines))
         return
 

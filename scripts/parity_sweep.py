@@ -1,0 +1,328 @@
+"""Head-to-head SENSITIVITY-study parity: the S2 diffusion grid run by
+the reference, by our serial ablation engine, and by our BATCHED sweep
+engine, all on the same dataset.
+
+PARITY_ABLATION.md covered the R1 component study (the reference's
+largest component) head-to-head.  This extends the validation to the
+remaining study family — the scalar sensitivity grids S1–S3
+(/root/reference/run_ablation.py:120-224) — and, more importantly, puts
+the vmapped batched sweep engine (`experiments/sweep.py`), which until
+now was only ever validated against our own serial engine, into a
+black-box comparison against the actual reference:
+
+  reference serial  (PyTorch CPU, /root/reference/src/ablation.py:1240)
+  ours serial       (`experiments.run_ablation_study`)
+  ours batched      (`experiments.sweep.run_batched_study`, ONE launch)
+
+Study: S2 — diffusion-coefficient sensitivity, D ∈ {0.5, 1, 2, 5, 10,
+100}, λ_RD=1e-3, no phase-field, 10% training data, two-stage
+(/root/reference/run_ablation.py:159-188).  Dataset: the same synthetic
+200/50/50/50 dual-test-set dataset as the R1 parity study (rebuilt
+bit-identically from its seeds if absent).
+
+Usage (steps independent / resumable):
+
+    python scripts/parity_sweep.py data          # ensure the dataset
+    python scripts/parity_sweep.py reference     # reference serial (slow, CPU)
+    python scripts/parity_sweep.py ours-serial   # our serial engine
+    python scripts/parity_sweep.py ours-batched  # our batched engine
+    python scripts/parity_sweep.py report        # assemble PARITY_SWEEP.md
+
+The reference runs black-box from a /tmp copy via its own public API
+(`run_ablation.define_ablation_s2` + `src.ablation.run_ablation_study`).
+Nothing is copied into this repo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+for _p in (REPO, REPO / "scripts"):
+    if str(_p) not in sys.path:
+        sys.path.insert(0, str(_p))
+
+DATA_ROOT = Path("/tmp/parity_abl_data")  # shared with parity_ablation.py
+REF_RUN = Path("/tmp/refswp")
+ART = REPO / "artifacts" / "parity_sweep"
+
+HP = dict(
+    batch_size=8,
+    learning_rate=1e-4,
+    stage1_epochs=8,
+    stage2_epochs=8,
+    early_stopping_patience=4,
+)
+
+_DIRS = dict(
+    train_dir="images/training",
+    train_json="images/annotation/training_annotation.json",
+    val_dir="images/validation",
+    val_json="images/annotation/validation_annotation.json",
+    in_dist_test_dir="images/in_dist_testing",
+    in_dist_test_json="images/annotation/in_dist_testing_annotation.json",
+    out_dist_test_dir="images/out_dist_testing",
+    out_dist_test_json="images/annotation/out_dist_testing_annotation.json",
+)
+
+
+def make_data() -> None:
+    """The R1 parity dataset; rebuilt (seeded => bit-identical) if absent."""
+    if (DATA_ROOT / "images" / "out_dist_testing").exists():
+        print(f"dataset already at {DATA_ROOT}")
+        return
+    from parity_ablation import make_data as r1_make_data
+
+    r1_make_data()
+
+
+REF_DRIVER = textwrap.dedent(
+    """
+    import sys, torch
+    sys.path.insert(0, '.')
+    from run_ablation import define_ablation_s2
+    from src.ablation import run_ablation_study
+
+    run_ablation_study(
+        'S2', define_ablation_s2(),
+        train_dir='{train_dir}',
+        train_json='{train_json}',
+        val_dir='{val_dir}',
+        val_json='{val_json}',
+        in_dist_test_dir='{in_dist_test_dir}',
+        in_dist_test_json='{in_dist_test_json}',
+        out_dist_test_dir='{out_dist_test_dir}',
+        out_dist_test_json='{out_dist_test_json}',
+        device=torch.device('cpu'),
+        batch_size={batch_size}, learning_rate={learning_rate},
+        stage1_epochs={stage1_epochs}, stage2_epochs={stage2_epochs},
+        early_stopping_patience={early_stopping_patience},
+    )
+    """
+).format(**_DIRS, **HP)
+
+
+def run_reference() -> None:
+    if REF_RUN.exists():
+        shutil.rmtree(REF_RUN)
+    shutil.copytree("/root/reference", REF_RUN)
+    target = REF_RUN / "images"
+    if target.exists() or target.is_symlink():
+        shutil.rmtree(target, ignore_errors=True)
+    target.symlink_to(DATA_ROOT / "images")
+    env = dict(os.environ)
+    env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
+    (REF_RUN / "_parity_driver.py").write_text(REF_DRIVER)
+    print("reference S2 study starting (CPU)...", flush=True)
+    subprocess.run(
+        [sys.executable, "_parity_driver.py"], cwd=REF_RUN, env=env, check=True
+    )
+    out = ART / "reference"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for src in (REF_RUN / "output" / "ablation").glob("S2_*"):
+        for f in src.rglob("*"):
+            if f.suffix in (".json", ".csv"):
+                dest = out / f.relative_to(src)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(f, dest)
+    print(f"reference artifacts -> {out}")
+
+
+def _ours_kwargs() -> dict:
+    img = DATA_ROOT / "images"
+    ann = img / "annotation"
+    return dict(
+        train_dir=img / "training",
+        train_json=ann / "training_annotation.json",
+        val_dir=img / "validation",
+        val_json=ann / "validation_annotation.json",
+        in_dist_test_dir=img / "in_dist_testing",
+        in_dist_test_json=ann / "in_dist_testing_annotation.json",
+        out_dist_test_dir=img / "out_dist_testing",
+        out_dist_test_json=ann / "out_dist_testing_annotation.json",
+        precision="f32",  # the reference trains/evals in f32 — parity
+        # is claimed at matched precision (bf16 is the throughput path)
+        **HP,
+    )
+
+
+def run_ours_serial() -> None:
+    from physics_informed_image_segmentation_tpu.experiments import (
+        run_ablation_study,
+    )
+    from physics_informed_image_segmentation_tpu.experiments.studies import (
+        define_ablation_s2,
+    )
+
+    out = ART / "ours_serial"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    run_ablation_study(
+        "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
+    )
+    for f in out.rglob("*.msgpack"):
+        f.unlink()
+    print(f"our serial artifacts -> {out}")
+
+
+def run_ours_batched() -> None:
+    from physics_informed_image_segmentation_tpu.experiments.studies import (
+        define_ablation_s2,
+    )
+    from physics_informed_image_segmentation_tpu.experiments.sweep import (
+        run_batched_study,
+    )
+
+    out = ART / "ours_batched"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    run_batched_study(
+        "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
+    )
+    for f in out.rglob("*.msgpack"):
+        f.unlink()
+    print(f"our batched artifacts -> {out}")
+
+
+def report() -> None:
+    from parity_ablation import _METRICS, _SHORT, _fmt_sig, _load_study
+
+    ref = _load_study(ART / "reference", study="S2")
+    ser = _load_study(ART / "ours_serial", study="S2")
+    bat = _load_study(ART / "ours_batched", study="S2")
+
+    lines = [
+        "# PARITY_SWEEP — S2 sensitivity grid: reference vs serial vs BATCHED engine",
+        "",
+        "Three engines ran the S2 diffusion-coefficient sensitivity study",
+        "(D ∈ {0.5, 1, 2, 5, 10, 100}, λ_RD=1e-3, no phase-field, 10% training",
+        "data, two-stage; `/root/reference/run_ablation.py:159-188`) on the same",
+        "on-disk dataset as PARITY_ABLATION.md (200 train / 50 val / 50 in-dist /",
+        "50 out-dist test) with identical hyperparameters: "
+        + ", ".join(f"{k}={v}" for k, v in HP.items()) + ".",
+        "",
+        "- reference: PyTorch CPU serial (6 separate two-stage trainings),",
+        "  black-box from a /tmp copy (`scripts/parity_sweep.py reference`).",
+        "- ours serial: `experiments.run_ablation_study`, f32.",
+        "- ours batched: `experiments.sweep.run_batched_study`, f32 — the",
+        "  vmapped engine that trains all 6 Stage-II members as ONE compiled",
+        "  launch (shared Stage I).  This is its first black-box validation",
+        "  against the actual reference (previously only tested against our",
+        "  own serial engine).",
+        "",
+        "## Stage-II aggregated test metrics per variant (mean over test set)",
+        "",
+        "| variant | set | metric | reference | ours serial | ours batched |",
+        "|---|---|---|---|---|---|",
+    ]
+
+    names = [v["name"] for v in ref["variants"]]
+    for vname in names:
+        first = True
+        for dist, key in (("in", "aggregated_results_in_dist"),
+                          ("out", "aggregated_results_out_dist")):
+            for m in _METRICS:
+                r = ref[key][vname][m]["mean"]
+                s = ser[key][vname][m]["mean"]
+                b = bat[key][vname][m]["mean"]
+                lines.append(
+                    f"| {vname if first else ''} | {dist} | {_SHORT[m]} | "
+                    f"{r:.4f} | {s:.4f} | {b:.4f} |"
+                )
+                first = False
+
+    lines += [
+        "",
+        "## Stage-I-vs-II significance verdicts (t-p / Wilcoxon-p / verdict)",
+        "",
+        "| variant | set | metric | reference | ours serial | ours batched |",
+        "|---|---|---|---|---|---|",
+    ]
+
+    by = {
+        "ref": {r["config"]["name"]: r for r in ref["results"]},
+        "ser": {r["config"]["name"]: r for r in ser["results"]},
+        "bat": {r["config"]["name"]: r for r in bat["results"]},
+    }
+    n = agree_rs = agree_sb = 0
+    for vname in names:
+        for dist in ("in_dist", "out_dist"):
+            for m in _METRICS:
+                cells = {}
+                for k in ("ref", "ser", "bat"):
+                    sc = by[k][vname].get("stage_comparison") or {}
+                    cells[k] = (sc.get(dist) or {}).get(m)
+                if not all(cells.values()):
+                    continue
+                n += 1
+                agree_rs += cells["ref"]["significant"] == cells["ser"]["significant"]
+                agree_sb += cells["ser"]["significant"] == cells["bat"]["significant"]
+                lines.append(
+                    f"| {vname} | {dist} | {_SHORT[m]} | "
+                    f"{_fmt_sig(cells['ref'])} | {_fmt_sig(cells['ser'])} | "
+                    f"{_fmt_sig(cells['bat'])} |"
+                )
+
+    # ---------------------------------------------- conclusion agreement
+    def ranking(study):
+        key = "aggregated_results_in_dist"
+        return sorted(
+            names,
+            key=lambda v: -study[key][v]["dice_scores"]["mean"],
+        )
+
+    rank_ref, rank_ser, rank_bat = ranking(ref), ranking(ser), ranking(bat)
+
+    # serial-vs-batched numeric agreement (same framework, same seed)
+    import math
+
+    max_dev = 0.0
+    for vname in names:
+        for key in ("aggregated_results_in_dist", "aggregated_results_out_dist"):
+            for m in _METRICS:
+                s = ser[key][vname][m]["mean"]
+                b = bat[key][vname][m]["mean"]
+                if math.isfinite(s) and math.isfinite(b):
+                    max_dev = max(max_dev, abs(s - b))
+
+    lines += [
+        "",
+        "## Agreement",
+        "",
+        f"- **{agree_rs}/{n}** significance verdicts agree between the",
+        "  reference and our serial engine.",
+        f"- **{agree_sb}/{n}** verdicts agree between our serial and batched",
+        f"  engines; max |mean metric difference| serial vs batched = "
+        f"{max_dev:.2e} — the batched engine IS the serial computation",
+        "  (engine-level bit-faithfulness is pinned in",
+        "  `tests/test_sweep.py::TestSerialBatchedFaithfulness`; the residual",
+        "  here is Stage-I sharing vs per-variant identical-seed retraining).",
+        f"- Study conclusion (best D by Stage-II in-dist Dice): reference →",
+        f"  `{rank_ref[0]}`, ours serial → `{rank_ser[0]}`, ours batched →",
+        f"  `{rank_bat[0]}`.",
+        f"- Full in-dist Dice ranking: reference {rank_ref} / ours",
+        f"  {rank_ser}.",
+        "",
+        "Raw artifacts: `artifacts/parity_sweep/`.  Regenerate with the",
+        "five `scripts/parity_sweep.py` steps.",
+        "",
+    ]
+    (REPO / "PARITY_SWEEP.md").write_text("\n".join(lines))
+    print((REPO / "PARITY_SWEEP.md").read_text())
+
+
+if __name__ == "__main__":
+    step = sys.argv[1] if len(sys.argv) > 1 else "report"
+    {"data": make_data, "reference": run_reference,
+     "ours-serial": run_ours_serial, "ours-batched": run_ours_batched,
+     "report": report}[step]()
