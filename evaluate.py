@@ -5,10 +5,15 @@ Usage:
                        --pde models/unet_pde_regularized.msgpack
     python evaluate.py --baseline 'out/*baseline*.msgpack' \
                        --pde 'out/*pde*.msgpack' --repeated
+    python evaluate.py --model-path models/unet_pde_regularized.msgpack
 
 Provenance: flag names, defaults and help strings mirror the reference
 CLI (/root/reference/evaluate.py:17-69) verbatim as the interface
 contract; the body dispatches to this framework's own comparison code.
+``--model-path`` (single-model evaluation, no comparison) is the usage
+the reference README documents (/root/reference/README.md:162-165) but
+its CLI never implemented — supported here so reference users following
+that README find it working.
 """
 
 import argparse
@@ -26,12 +31,17 @@ def main():
         description="Evaluate and compare segmentation models (TPU)"
     )
     parser.add_argument(
-        "--baseline", type=str, required=True,
+        "--baseline", type=str, default=None,
         help="Path to baseline model checkpoint (or pattern for repeated experiments)",
     )
     parser.add_argument(
-        "--pde", type=str, required=True,
+        "--pde", type=str, default=None,
         help="Path to PDE-constrained model checkpoint (or pattern for repeated experiments)",
+    )
+    parser.add_argument(
+        "--model-path", type=str, default=None,
+        help="Evaluate a SINGLE checkpoint on the test set (no comparison); "
+        "the usage documented in the reference README",
     )
     parser.add_argument(
         "--test-dir", type=str, default="images/testing",
@@ -61,11 +71,55 @@ def main():
     )
     args = parser.parse_args()
 
+    if args.model_path is None and (args.baseline is None or args.pde is None):
+        parser.error("either --model-path or both --baseline and --pde are required")
+    if args.model_path is not None and (args.baseline or args.pde):
+        parser.error("--model-path is mutually exclusive with --baseline/--pde")
+
     test_dir = Path(args.test_dir)
     test_json = Path(args.test_json)
     output_dir = Path(args.output_dir)
 
-    if args.repeated:
+    if args.model_path:
+        import json
+
+        from physics_informed_image_segmentation_tpu.compat import (
+            evaluate_on_test_set,
+        )
+        from physics_informed_image_segmentation_tpu.experiments.compare import (
+            load_unet_params,
+            make_json_serializable,
+        )
+        from physics_informed_image_segmentation_tpu.ops.stats import (
+            compute_statistics,
+        )
+
+        model_path = Path(args.model_path)
+        if not model_path.exists():
+            print(f"Error: Model not found: {model_path}")
+            return
+        module_params = load_unet_params(
+            model_path, base_channels=args.base_channels, dtype="f32"
+        )
+        metrics = evaluate_on_test_set(
+            module_params,
+            test_dir,
+            test_json,
+            batch_size=args.batch_size,
+            threshold=args.threshold,
+            model_name=model_path.stem,
+        )
+        output_dir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            name: {"statistics": compute_statistics(values),
+                   "per_image": list(values)}
+            for name, values in metrics.items()
+        }
+        out_json = output_dir / f"single_model_metrics_{model_path.stem}.json"
+        with open(out_json, "w") as f:
+            json.dump(make_json_serializable(payload), f, indent=2)
+        print(f"\nPer-image metrics saved to: {out_json}")
+    elif args.repeated:
         baseline_paths = sorted(glob(args.baseline))
         pde_paths = sorted(glob(args.pde))
         if len(baseline_paths) == 0:

@@ -147,6 +147,41 @@ def test_evaluate_cli(data_root):
 
 
 @pytest.mark.slow
+def test_evaluate_cli_single_model(data_root):
+    """--model-path: single-checkpoint evaluation — the usage the
+    reference README documents (/root/reference/README.md:162-165) but
+    its CLI never implemented."""
+    pde = data_root / "models" / "unet_pde_regularized.msgpack"
+    if not pde.exists():
+        pytest.skip("main CLI test did not run first")
+    r = _run(
+        [
+            str(REPO / "evaluate.py"),
+            "--model-path", str(pde),
+            "--base-channels", "8",
+        ],
+        cwd=data_root,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "EVALUATION COMPLETE" in r.stdout
+    out = data_root / "output" / f"single_model_metrics_{pde.stem}.json"
+    assert out.exists()
+    payload = json.loads(out.read_text())
+    assert set(payload) >= {"dice_scores", "iou_scores",
+                            "boundary_f1_scores", "hausdorff_distances"}
+    stats = payload["dice_scores"]["statistics"]
+    assert stats["count"] == len(payload["dice_scores"]["per_image"]) > 0
+
+    # mutually exclusive flags are rejected
+    r2 = _run(
+        [str(REPO / "evaluate.py"), "--model-path", str(pde),
+         "--baseline", str(pde)],
+        cwd=data_root,
+    )
+    assert r2.returncode != 0
+
+
+@pytest.mark.slow
 def test_run_ablation_cli(data_root):
     r = _run(
         [
