@@ -322,7 +322,16 @@ def report() -> None:
 
 
 if __name__ == "__main__":
-    step = sys.argv[1] if len(sys.argv) > 1 else "report"
+    args = sys.argv[1:]
+    if "--cpu" in args:
+        # fallback when the TPU tunnel is down: the parity claim is
+        # engine-level and f32 either way (the axon plugin overrides
+        # JAX_PLATFORMS, so force via jax.config)
+        args.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    step = args[0] if args else "report"
     {"data": make_data, "reference": run_reference,
      "ours-serial": run_ours_serial, "ours-batched": run_ours_batched,
      "report": report}[step]()
