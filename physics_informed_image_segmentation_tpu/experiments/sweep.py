@@ -49,7 +49,7 @@ from ..data import (
 )
 from ..models import UNet
 from ..ops import losses, metrics as M, pde
-from ..train.checkpoint import save_params
+from ..train.checkpoint import load_params, save_params
 from ..train.csvlog import save_metrics_to_csv
 from ..train.engine import (
     EarlyStopping,
@@ -389,6 +389,7 @@ def run_batched_study(
     output_dir=None,
     precision: str = "bf16",
     base_channels: int = 64,
+    resume_from=None,
 ) -> Dict:
     """Run a sensitivity study (S1/S2/S3-shaped) as one batched launch.
 
@@ -396,6 +397,14 @@ def run_batched_study(
     :func:`..experiments.ablation.run_ablation_study` (results JSON,
     summary CSVs, per-member stage CSVs and model files) with
     ``"batched": true`` recorded in the results JSON.
+
+    ``resume_from``: path to an interrupted batched run's
+    ``{name}_{timestamp}`` folder.  If it holds
+    ``shared_baseline_after_stage1.msgpack``, the shared Stage I is
+    loaded from it instead of retrained; Stage II (one compiled
+    launch) restarts from that state.  Stage-I resume is the useful
+    granularity here — on a CPU-fallback host Stage I is hours while a
+    warm Stage II relaunch is the engine's normal unit of work.
     """
     # sweepability: members may differ only in scalar loss params
     base = variants[0]
@@ -419,7 +428,20 @@ def run_batched_study(
         Path(output_dir) if output_dir is not None else Path.cwd() / "output" / "ablation"
     )
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-    ablation_folder = results_root / f"{ablation_name}_{timestamp}"
+    stage1_ckpt = None
+    if resume_from is not None:
+        ablation_folder = Path(resume_from)
+        if not ablation_folder.is_dir():
+            raise FileNotFoundError(f"resume_from folder not found: {ablation_folder}")
+        prefix = f"{ablation_name}_"
+        if ablation_folder.name.startswith(prefix):
+            # keep the interrupted run's timestamp in artifact names
+            timestamp = ablation_folder.name[len(prefix):]
+        candidate = ablation_folder / "shared_baseline_after_stage1.msgpack"
+        if candidate.exists():
+            stage1_ckpt = candidate
+    else:
+        ablation_folder = results_root / f"{ablation_name}_{timestamp}"
     ablation_folder.mkdir(parents=True, exist_ok=True)
 
     print("=" * 70)
@@ -461,32 +483,36 @@ def run_batched_study(
     init_key, shuffle_key = jax.random.split(root_key)
 
     # ------------------------------------------------ Stage I (shared)
-    print("\nStage I: Baseline Training (shared across all members)")
     dicebce = LossConfig(backend="auto")
     state = create_train_state(
         model, init_key, learning_rate, input_shape=(1, h, w, 1)
     )
-    state, _, _, _ = train_stage(
-        state,
-        make_train_epoch_fn(
-            model,
-            dicebce,
-            # bf16 param carry (engine.py), ~4% faster; None in f32 mode
-            param_carry_dtype=dtype if dtype != jnp.float32 else None,
-        ),
-        make_eval_epoch_fn(model, dicebce),
-        train_data,
-        val_data,
-        batch_size=batch_size,
-        num_epochs=stage1_epochs,
-        stage_name="Stage I",
-        shuffle_key=jax.random.fold_in(shuffle_key, 1),
-        early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
-        verbose=False,
-        csv_path=ablation_folder / "shared_stage1_metrics.csv",
-    )
-    shared_params = state.params
-    save_params(shared_params, ablation_folder / "shared_baseline_after_stage1.msgpack")
+    if stage1_ckpt is not None:
+        print(f"\nStage I: loading shared baseline from {stage1_ckpt.name} (resume)")
+        shared_params = load_params(stage1_ckpt, state.params)
+    else:
+        print("\nStage I: Baseline Training (shared across all members)")
+        state, _, _, _ = train_stage(
+            state,
+            make_train_epoch_fn(
+                model,
+                dicebce,
+                # bf16 param carry (engine.py), ~4% faster; None in f32 mode
+                param_carry_dtype=dtype if dtype != jnp.float32 else None,
+            ),
+            make_eval_epoch_fn(model, dicebce),
+            train_data,
+            val_data,
+            batch_size=batch_size,
+            num_epochs=stage1_epochs,
+            stage_name="Stage I",
+            shuffle_key=jax.random.fold_in(shuffle_key, 1),
+            early_stopping=EarlyStopping(early_stopping_patience, 1e-4, "max"),
+            verbose=False,
+            csv_path=ablation_folder / "shared_stage1_metrics.csv",
+        )
+        shared_params = state.params
+        save_params(shared_params, ablation_folder / "shared_baseline_after_stage1.msgpack")
     baseline_metrics = {
         "in_dist": evaluate_model(model.apply, shared_params, datasets["in_dist"], batch_size),
         "out_dist": evaluate_model(model.apply, shared_params, datasets["out_dist"], batch_size),

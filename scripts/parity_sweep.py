@@ -163,12 +163,24 @@ def run_ours_serial() -> None:
     )
 
     out = ART / "ours_serial"
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
-    run_ablation_study(
-        "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
-    )
+    # resume an interrupted study in place (variants with a persisted
+    # results JSON are loaded; only the missing ones retrain) — on this
+    # 1-vCPU host the serial CPU fallback spans hours, so losing
+    # completed variants to a session restart is the expensive failure
+    existing = sorted(out.glob("S2_*")) if out.exists() else []
+    if existing:
+        print(f"resuming interrupted serial study: {existing[-1]}")
+        run_ablation_study(
+            "S2", define_ablation_s2(), output_dir=out,
+            resume_from=existing[-1], **_ours_kwargs()
+        )
+    else:
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+        run_ablation_study(
+            "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
+        )
     for f in out.rglob("*.msgpack"):
         f.unlink()
     print(f"our serial artifacts -> {out}")
@@ -183,12 +195,22 @@ def run_ours_batched() -> None:
     )
 
     out = ART / "ours_batched"
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
-    run_batched_study(
-        "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
-    )
+    # resume: reuse a crashed run's shared Stage I (hours on the CPU
+    # fallback host); Stage II is one compiled launch and restarts
+    existing = sorted(out.glob("S2_*")) if out.exists() else []
+    if existing:
+        print(f"resuming interrupted batched study: {existing[-1]}")
+        run_batched_study(
+            "S2", define_ablation_s2(), output_dir=out,
+            resume_from=existing[-1], **_ours_kwargs()
+        )
+    else:
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+        run_batched_study(
+            "S2", define_ablation_s2(), output_dir=out, **_ours_kwargs()
+        )
     for f in out.rglob("*.msgpack"):
         f.unlink()
     print(f"our batched artifacts -> {out}")

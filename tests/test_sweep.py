@@ -1,8 +1,10 @@
 """Batched vmapped sweep: correctness vs serial training, ES masking."""
 
 import json
+import shutil
 from pathlib import Path
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,6 +172,53 @@ class TestBatchedStudy:
             assert (folder / f"{stem}_stage2_metrics.csv").exists()
         assert (folder / "shared_stage1_metrics.csv").exists()
         assert Path(res["summary_csv"]).exists()
+
+    def test_resume_reuses_shared_stage1(self, setup, tmp_path):
+        """resume_from skips Stage I and lands on the SAME final params.
+
+        The batched engine's resume granularity is the shared Stage-I
+        checkpoint (Stage II is one compiled launch) — a resumed run
+        must produce bit-identical member params to the original.
+        """
+        datasets = {
+            "train": DeviceDataset.from_numpy(*make_blobs(8, 32, 32, seed=0)),
+            "val": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=1)),
+            "in_dist": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=2)),
+            "out_dist": DeviceDataset.from_numpy(*make_blobs(4, 32, 32, seed=3)),
+        }
+        variants = [
+            AblationConfig(
+                name=f"SR.{i} D={d}", description="d", use_pde=True,
+                pde_weight=1e-4, diffusion_coeff=d,
+            )
+            for i, d in enumerate([1.0, 5.0])
+        ]
+        kwargs = dict(
+            datasets=datasets, batch_size=4, learning_rate=1e-4,
+            stage1_epochs=2, stage2_epochs=2,
+            precision="f32", base_channels=8,
+        )
+        res = run_batched_study("SR", variants, output_dir=tmp_path / "a", **kwargs)
+        folder = Path(res["ablation_folder"])
+
+        # simulate a crash after Stage I: keep only the stage-1 artifacts
+        resumed = tmp_path / "b" / folder.name
+        resumed.parent.mkdir()
+        resumed.mkdir()
+        for name in ("shared_baseline_after_stage1.msgpack", "shared_stage1_metrics.csv"):
+            shutil.copy2(folder / name, resumed / name)
+
+        res2 = run_batched_study(
+            "SR", variants, output_dir=tmp_path / "b", resume_from=resumed, **kwargs
+        )
+        assert Path(res2["ablation_folder"]) == resumed  # in place, same timestamp
+        from physics_informed_image_segmentation_tpu.train.checkpoint import load_params
+
+        for i, d in enumerate([1.0, 5.0]):
+            stem = f"sr.{i}_d={d}".replace(" ", "_")
+            a = load_params(folder / f"{stem}_after_pde_stage2.msgpack")
+            b = load_params(resumed / f"{stem}_after_pde_stage2.msgpack")
+            chex.assert_trees_all_equal(a, b)
 
 
 class TestMultiSeed:
