@@ -220,8 +220,16 @@ def report() -> None:
     from parity_ablation import _METRICS, _SHORT, _fmt_sig, _load_study
 
     ref = _load_study(ART / "reference", study="S2")
-    ser = _load_study(ART / "ours_serial", study="S2")
     bat = _load_study(ART / "ours_batched", study="S2")
+    # the serial column is the triangle-closing control; if its (hours-
+    # long on the CPU-fallback host) run hasn't landed yet, report the
+    # primary comparison — reference vs the batched engine — without it
+    # (serial-vs-batched bit-faithfulness is already pinned engine-level
+    # in tests/test_sweep.py::TestSerialBatchedFaithfulness)
+    try:
+        ser = _load_study(ART / "ours_serial", study="S2")
+    except FileNotFoundError:
+        ser = None
 
     lines = [
         "# PARITY_SWEEP — S2 sensitivity grid: reference vs serial vs BATCHED engine",
@@ -255,11 +263,12 @@ def report() -> None:
                           ("out", "aggregated_results_out_dist")):
             for m in _METRICS:
                 r = ref[key][vname][m]["mean"]
-                s = ser[key][vname][m]["mean"]
+                s = ser[key][vname][m]["mean"] if ser else None
                 b = bat[key][vname][m]["mean"]
                 lines.append(
                     f"| {vname if first else ''} | {dist} | {_SHORT[m]} | "
-                    f"{r:.4f} | {s:.4f} | {b:.4f} |"
+                    f"{r:.4f} | {f'{s:.4f}' if s is not None else '(pending)'} "
+                    f"| {b:.4f} |"
                 )
                 first = False
 
@@ -273,25 +282,29 @@ def report() -> None:
 
     by = {
         "ref": {r["config"]["name"]: r for r in ref["results"]},
-        "ser": {r["config"]["name"]: r for r in ser["results"]},
         "bat": {r["config"]["name"]: r for r in bat["results"]},
     }
-    n = agree_rs = agree_sb = 0
+    if ser:
+        by["ser"] = {r["config"]["name"]: r for r in ser["results"]}
+    n = agree_rs = agree_sb = agree_rb = 0
     for vname in names:
         for dist in ("in_dist", "out_dist"):
             for m in _METRICS:
                 cells = {}
-                for k in ("ref", "ser", "bat"):
+                for k in by:
                     sc = by[k][vname].get("stage_comparison") or {}
                     cells[k] = (sc.get(dist) or {}).get(m)
                 if not all(cells.values()):
                     continue
                 n += 1
-                agree_rs += cells["ref"]["significant"] == cells["ser"]["significant"]
-                agree_sb += cells["ser"]["significant"] == cells["bat"]["significant"]
+                agree_rb += cells["ref"]["significant"] == cells["bat"]["significant"]
+                if ser:
+                    agree_rs += cells["ref"]["significant"] == cells["ser"]["significant"]
+                    agree_sb += cells["ser"]["significant"] == cells["bat"]["significant"]
                 lines.append(
                     f"| {vname} | {dist} | {_SHORT[m]} | "
-                    f"{_fmt_sig(cells['ref'])} | {_fmt_sig(cells['ser'])} | "
+                    f"{_fmt_sig(cells['ref'])} | "
+                    f"{_fmt_sig(cells['ser']) if ser else '(pending)'} | "
                     f"{_fmt_sig(cells['bat'])} |"
                 )
 
@@ -303,37 +316,54 @@ def report() -> None:
             key=lambda v: -study[key][v]["dice_scores"]["mean"],
         )
 
-    rank_ref, rank_ser, rank_bat = ranking(ref), ranking(ser), ranking(bat)
-
-    # serial-vs-batched numeric agreement (same framework, same seed)
-    import math
-
-    max_dev = 0.0
-    for vname in names:
-        for key in ("aggregated_results_in_dist", "aggregated_results_out_dist"):
-            for m in _METRICS:
-                s = ser[key][vname][m]["mean"]
-                b = bat[key][vname][m]["mean"]
-                if math.isfinite(s) and math.isfinite(b):
-                    max_dev = max(max_dev, abs(s - b))
+    rank_ref, rank_bat = ranking(ref), ranking(bat)
+    rank_ser = ranking(ser) if ser else None
 
     lines += [
         "",
         "## Agreement",
         "",
-        f"- **{agree_rs}/{n}** significance verdicts agree between the",
-        "  reference and our serial engine.",
-        f"- **{agree_sb}/{n}** verdicts agree between our serial and batched",
-        f"  engines; max |mean metric difference| serial vs batched = "
-        f"{max_dev:.2e} — the batched engine IS the serial computation",
-        "  (engine-level bit-faithfulness is pinned in",
-        "  `tests/test_sweep.py::TestSerialBatchedFaithfulness`; the residual",
-        "  here is Stage-I sharing vs per-variant identical-seed retraining).",
+        f"- **{agree_rb}/{n}** significance verdicts agree between the",
+        "  reference and our batched engine.",
+    ]
+    if ser:
+        # serial-vs-batched numeric agreement (same framework, same seed)
+        import math
+
+        max_dev = 0.0
+        for vname in names:
+            for key in ("aggregated_results_in_dist", "aggregated_results_out_dist"):
+                for m in _METRICS:
+                    s = ser[key][vname][m]["mean"]
+                    b = bat[key][vname][m]["mean"]
+                    if math.isfinite(s) and math.isfinite(b):
+                        max_dev = max(max_dev, abs(s - b))
+        lines += [
+            f"- **{agree_rs}/{n}** significance verdicts agree between the",
+            "  reference and our serial engine.",
+            f"- **{agree_sb}/{n}** verdicts agree between our serial and batched",
+            f"  engines; max |mean metric difference| serial vs batched = "
+            f"{max_dev:.2e} — the batched engine IS the serial computation",
+            "  (engine-level bit-faithfulness is pinned in",
+            "  `tests/test_sweep.py::TestSerialBatchedFaithfulness`; the residual",
+            "  here is Stage-I sharing vs per-variant identical-seed retraining).",
+        ]
+    else:
+        lines += [
+            "- ours serial: still running at report time (hours on the",
+            "  1-vCPU CPU-fallback host); serial-vs-batched equivalence is",
+            "  pinned engine-level in",
+            "  `tests/test_sweep.py::TestSerialBatchedFaithfulness`.  Re-run",
+            "  `python scripts/parity_sweep.py report` once",
+            "  `artifacts/parity_sweep/ours_serial` lands to fill the column.",
+        ]
+    lines += [
         f"- Study conclusion (best D by Stage-II in-dist Dice): reference →",
-        f"  `{rank_ref[0]}`, ours serial → `{rank_ser[0]}`, ours batched →",
-        f"  `{rank_bat[0]}`.",
-        f"- Full in-dist Dice ranking: reference {rank_ref} / ours",
-        f"  {rank_ser}.",
+        f"  `{rank_ref[0]}`, ours serial → "
+        + (f"`{rank_ser[0]}`" if rank_ser else "(pending)")
+        + f", ours batched → `{rank_bat[0]}`.",
+        f"- Full in-dist Dice ranking: reference {rank_ref} / ours batched",
+        f"  {rank_bat}.",
         "",
         "Raw artifacts: `artifacts/parity_sweep/`.  Regenerate with the",
         "five `scripts/parity_sweep.py` steps.",
