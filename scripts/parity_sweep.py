@@ -375,6 +375,14 @@ def report() -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if args and args[0] in ("ours-serial", "ours-batched"):
+        # persistent XLA compile cache: the CPU-fallback compile of the
+        # scan-epoch programs is tens of minutes on this 1-vCPU host, so
+        # retries after a crash/timeout must not pay it twice (shares
+        # the test suite's cache dir, see conftest.py)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
     if "--cpu" in args:
         # fallback when the TPU tunnel is down: the parity claim is
         # engine-level and f32 either way (the axon plugin overrides
