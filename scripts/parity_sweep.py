@@ -216,6 +216,90 @@ def run_ours_batched() -> None:
     print(f"our batched artifacts -> {out}")
 
 
+def probe_precision() -> None:
+    """Mechanism check for the serial-vs-batched TPU endpoint divergence.
+
+    The report attributes it to the vmapped lowering rounding differently
+    under the TPU's default (bf16-mantissa) matmul precision, amplified
+    by a chaotic 8-epoch budget.  This step tests that causally: the
+    worst-diverging member (S2.4 D=10) runs through BOTH engines twice —
+    once at default matmul precision, once at ``highest`` (true-f32
+    passes, identical numerics across lowerings up to reduction order).
+    If the mechanism is right, the epoch-1 val-Dice fork shrinks from
+    ~1e-1 to rounding level when precision goes to highest.
+
+    Resumable: an engine×mode cell with its study JSON already on disk
+    is skipped.  Writes ``precision_probe/summary.json``; the report
+    step folds a section in when that file exists.
+    """
+    import csv as _csv
+
+    import jax
+
+    from parity_ablation import _load_study
+    from physics_informed_image_segmentation_tpu.experiments import (
+        run_ablation_study,
+    )
+    from physics_informed_image_segmentation_tpu.experiments.studies import (
+        define_ablation_s2,
+    )
+    from physics_informed_image_segmentation_tpu.experiments.sweep import (
+        run_batched_study,
+    )
+
+    make_data()
+    out_root = ART / "precision_probe"
+    platform = jax.devices()[0].platform
+    stem = "s2.4_d=10"
+
+    def val_traj(cell_dir: Path, stage: str) -> list:
+        csvs = sorted(cell_dir.rglob(f"*{stem}_{stage}_metrics.csv")) or sorted(
+            cell_dir.rglob(f"*shared_{stage}_metrics.csv"))
+        with open(csvs[-1]) as f:
+            return [float(r["val_dice_score"]) for r in _csv.DictReader(f)]
+
+    summary = {"platform": platform, "variant": "S2.4 D=10", "modes": {}}
+    for mode in ("default", "highest"):
+        jax.config.update(
+            "jax_default_matmul_precision",
+            None if mode == "default" else "highest")
+        cells = {}
+        for engine, runner in (("serial", run_ablation_study),
+                               ("batched", run_batched_study)):
+            cell = out_root / f"{mode}_{engine}"
+            if not sorted(cell.rglob("ablation_S2_*.json")):
+                shutil.rmtree(cell, ignore_errors=True)
+                cell.mkdir(parents=True)
+                runner("S2", [define_ablation_s2()[4]], output_dir=cell,
+                       **_ours_kwargs())
+                for f in cell.rglob("*.msgpack"):
+                    f.unlink()
+            cells[engine] = cell
+            print(f"[{mode}/{engine}] done -> {cell}", flush=True)
+        s2 = {e: val_traj(cells[e], "stage2") for e in cells}
+        study = {e: _load_study(cells[e], study="S2") for e in cells}
+        dice = {e: study[e]["aggregated_results_in_dist"]["S2.4 D=10"]
+                ["dice_scores"]["mean"] for e in study}
+        n = min(len(s2["serial"]), len(s2["batched"]))
+        summary["modes"][mode] = {
+            "stage2_val_dice_serial": s2["serial"],
+            "stage2_val_dice_batched": s2["batched"],
+            "stage2_val_dice_abs_delta": [
+                abs(s2["serial"][i] - s2["batched"][i]) for i in range(n)],
+            "epoch1_abs_delta": abs(s2["serial"][0] - s2["batched"][0]),
+            "final_in_dist_dice": dice,
+            "final_in_dist_dice_abs_delta": abs(dice["serial"] - dice["batched"]),
+        }
+    out_root.mkdir(parents=True, exist_ok=True)
+    with open(out_root / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    for mode, m in summary["modes"].items():
+        print(f"{mode:8s} epoch-1 |Δ|={m['epoch1_abs_delta']:.2e}  "
+              f"per-epoch |Δ|={['%.1e' % d for d in m['stage2_val_dice_abs_delta']]}  "
+              f"final dice |Δ|={m['final_in_dist_dice_abs_delta']:.2e}")
+    print(f"wrote {out_root / 'summary.json'}")
+
+
 def report() -> None:
     from parity_ablation import _METRICS, _SHORT, _fmt_sig, _load_study
 
@@ -412,6 +496,42 @@ def report() -> None:
             "  step under divergent early stopping — pinned in",
             "  `tests/test_sweep.py::TestSerialBatchedFaithfulness`.",
         ]
+        probe_json = ART / "precision_probe" / "summary.json"
+        if probe_json.exists():
+            with open(probe_json) as f:
+                probe = json.load(f)
+            pm = probe["modes"]
+            lines += [
+                "",
+                "The mechanism was then tested causally"
+                " (`scripts/parity_sweep.py probe-precision`): the worst-",
+                f"diverging member ({probe['variant']}) re-ran through BOTH"
+                f" engines on {probe['platform']}",
+                "at default vs `highest` matmul precision (true-f32 passes,",
+                "same numerics across lowerings up to reduction order):",
+                "",
+                "| matmul precision | Stage-II epoch-1 val-Dice |Δ| |"
+                " final in-dist Dice |Δ| |",
+                "|---|---|---|",
+            ] + [
+                f"| {mode} | {pm[mode]['epoch1_abs_delta']:.2e} "
+                f"| {pm[mode]['final_in_dist_dice_abs_delta']:.2e} |"
+                for mode in ("default", "highest")
+            ]
+            ratio = (pm["default"]["epoch1_abs_delta"]
+                     / max(pm["highest"]["epoch1_abs_delta"], 1e-12))
+            lines += [
+                "",
+                (f"Raising the matmul precision shrinks the epoch-1 fork "
+                 f"{ratio:,.0f}× — the divergence seed is matmul rounding "
+                 "under the vmapped lowering, as claimed"
+                 if ratio >= 100 else
+                 f"The epoch-1 fork only changes {ratio:.1f}× at highest "
+                 "precision — this probe does NOT confirm the rounding "
+                 "attribution; treat the mechanism above as open"),
+                "(full trajectories in",
+                "`artifacts/parity_sweep/precision_probe/summary.json`).",
+            ]
     else:
         lines += [
             "- ours serial: still running at report time (hours on the",
@@ -449,7 +569,7 @@ def report() -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    if args and args[0] in ("ours-serial", "ours-batched"):
+    if args and args[0] in ("ours-serial", "ours-batched", "probe-precision"):
         # persistent XLA compile cache: the CPU-fallback compile of the
         # scan-epoch programs is tens of minutes on this 1-vCPU host, so
         # retries after a crash/timeout must not pay it twice (shares
@@ -468,4 +588,4 @@ if __name__ == "__main__":
     step = args[0] if args else "report"
     {"data": make_data, "reference": run_reference,
      "ours-serial": run_ours_serial, "ours-batched": run_ours_batched,
-     "report": report}[step]()
+     "probe-precision": probe_precision, "report": report}[step]()
