@@ -436,6 +436,16 @@ SEED_DRIVER = textwrap.dedent(
 )
 
 
+def _note_provenance(side: str, text: str) -> None:
+    """Merge a run-condition note into seednoise/provenance.json."""
+    SEED_ART.mkdir(parents=True, exist_ok=True)
+    prov = SEED_ART / "provenance.json"
+    notes = json.loads(prov.read_text()) if prov.exists() else {}
+    if text not in notes.get(side, ""):
+        notes[side] = (notes.get(side, "") + "; " + text).lstrip("; ")
+        prov.write_text(json.dumps(notes, indent=2))
+
+
 def run_seednoise_reference() -> None:
     """R1.3 at each extra seed through the actual reference (CPU, slow).
 
@@ -448,6 +458,7 @@ def run_seednoise_reference() -> None:
         if sorted(out.rglob(f"ablation_R1S{seed}_*.json")):
             print(f"seed {seed}: reference artifacts already present, skipping")
             continue
+        _note_provenance("reference", f"seed {seed} on cpu (torch, 1 thread)")
         if REF_SEED_RUN.exists():
             shutil.rmtree(REF_SEED_RUN)
         shutil.copytree("/root/reference", REF_SEED_RUN)
@@ -482,6 +493,8 @@ def run_seednoise_ours() -> None:
         define_ablation_r1,
     )
 
+    import jax
+
     out = SEED_ART / "ours"
     out.mkdir(parents=True, exist_ok=True)
     img = DATA_ROOT / "images"
@@ -490,6 +503,8 @@ def run_seednoise_ours() -> None:
         if sorted(out.rglob(f"ablation_R1S{seed}_*.json")):
             print(f"seed {seed}: ours artifacts already present, skipping")
             continue
+        _note_provenance(
+            "ours", f"seed {seed} on {jax.devices()[0].platform} (f32)")
         v = define_ablation_r1()[3]
         v.use_three_stage = True
         v.seed = seed
@@ -637,6 +652,13 @@ def _seednoise_section() -> list | None:
         "Dice/IoU primary-endpoint verdicts (Stage I vs II significant) are",
         "expected to stay unanimous across every seed and framework — any",
         "flip there WOULD implicate an engine, not noise.",
+    ]
+    prov = SEED_ART / "provenance.json"
+    if prov.exists():
+        with open(prov) as f:
+            notes = json.load(f)
+        lines += [""] + [f"- {side}: {note}" for side, note in sorted(notes.items())]
+    lines += [
         "",
         "Raw artifacts: `artifacts/parity_ablation/seednoise/`.",
         "",
