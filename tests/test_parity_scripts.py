@@ -1,0 +1,152 @@
+"""Unit tests for the parity-experiment report generators in scripts/.
+
+These scripts drive hours-long black-box runs against the actual
+reference; the report/section assembly logic is the part that must not
+crash or corrupt PARITY_*.md at the END of such a run, so it is pinned
+here on synthetic artifacts.
+"""
+
+import importlib
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO / "scripts") not in sys.path:
+    sys.path.insert(0, str(REPO / "scripts"))
+
+pa = importlib.import_module("parity_ablation")
+
+# the two cells the bootstrap analysis called decisive-but-opposite
+_FLIP_CELL = ("stage1_vs_stage2", "in_dist", "hausdorff_distances")
+
+
+def _write_study(dirpath: Path, study: str, flip_cells=(), flip=False) -> None:
+    """Minimal study JSON: one R1.3 result with a full verdict grid.
+
+    Cells in ``flip_cells`` get ``significant=flip``; all others True.
+    """
+    sc = {}
+    for pair in pa._PAIR_ARRAYS:
+        sc[pair] = {}
+        for dist in ("in_dist", "out_dist"):
+            sc[pair][dist] = {
+                m: {
+                    "t_pvalue": 0.5,
+                    "wilcoxon_pvalue": 0.5,
+                    "significant": (
+                        flip if (pair, dist, m) in flip_cells else True
+                    ),
+                }
+                for m in pa._METRICS
+            }
+    doc = {
+        "results": [
+            {"config": {"name": pa.R13_NAME}, "stage_comparison": sc}
+        ]
+    }
+    dirpath.mkdir(parents=True, exist_ok=True)
+    path = dirpath / f"ablation_{study}_20260101_000000.json"
+    path.write_text(json.dumps(doc))
+
+
+def _scaffold(tmp_path, monkeypatch, *, extra_seeds=(123,), ref_flip_seed=None):
+    """Fake main-study + seed-noise artifacts under tmp dirs."""
+    art = tmp_path / "parity_ablation"
+    seed_art = art / "seednoise"
+    monkeypatch.setattr(pa, "ART", art)
+    monkeypatch.setattr(pa, "SEED_ART", seed_art)
+    _write_study(art / "reference", "R1")
+    _write_study(art / "ours", "R1")
+    for seed in extra_seeds:
+        for side in ("reference", "ours"):
+            flips = (
+                (_FLIP_CELL,)
+                if (side == "reference" and seed == ref_flip_seed)
+                else ()
+            )
+            _write_study(
+                seed_art / side, f"R1S{seed}", flip_cells=flips, flip=False
+            )
+    return art, seed_art
+
+
+class TestSeednoiseSection:
+    def test_incomplete_artifacts_return_none(self, tmp_path, monkeypatch):
+        art = tmp_path / "parity_ablation"
+        monkeypatch.setattr(pa, "ART", art)
+        monkeypatch.setattr(pa, "SEED_ART", art / "seednoise")
+        # no artifacts at all
+        assert pa._seednoise_section() is None
+        # base studies only (one seed per side) is still not enough
+        _write_study(art / "reference", "R1")
+        _write_study(art / "ours", "R1")
+        assert pa._seednoise_section() is None
+
+    def test_no_flips_counts_zero(self, tmp_path, monkeypatch):
+        _scaffold(tmp_path, monkeypatch)
+        text = "\n".join(pa._seednoise_section())
+        assert "**0/24** cells" in text
+        # all same-seed verdicts agree across frameworks
+        assert "s42: 24/24" in text and "s123: 24/24" in text
+        # stable decisive-opposite cells fall back to the bootstrap claim
+        assert "stable across the seeds tried" in text
+
+    def test_within_framework_flip_is_detected(self, tmp_path, monkeypatch):
+        _scaffold(tmp_path, monkeypatch, ref_flip_seed=123)
+        text = "\n".join(pa._seednoise_section())
+        # the reference disagrees with itself on exactly the flipped cell
+        assert "ITSELF across its own seeds on **1/24** cells" in text
+        assert "flips across seeds within a single framework" in text
+        # the cross-framework agreement drops only at the flipped seed
+        assert "s42: 24/24" in text and "s123: 23/24" in text
+
+    def test_provenance_notes_rendered(self, tmp_path, monkeypatch):
+        _, seed_art = _scaffold(tmp_path, monkeypatch)
+        seed_art.mkdir(parents=True, exist_ok=True)
+        (seed_art / "provenance.json").write_text(
+            json.dumps({"ours": "seed 123 on cpu (f32)"})
+        )
+        text = "\n".join(pa._seednoise_section())
+        assert "ours: seed 123 on cpu (f32)" in text
+
+
+class TestSeednoiseReportInsertion:
+    ANCHOR = "## Artifact-structure agreement"
+    DOC = (
+        "# PARITY_ABLATION\n\nintro\n\n"
+        "## Verdicts\n\ntable\n\n"
+        f"{ANCHOR}\n\ntail stays intact\n"
+    )
+
+    def _report_file(self, tmp_path, monkeypatch):
+        repo = tmp_path / "repo"
+        repo.mkdir()
+        (repo / "PARITY_ABLATION.md").write_text(self.DOC)
+        monkeypatch.setattr(pa, "REPO", repo)
+        return repo / "PARITY_ABLATION.md"
+
+    def test_insert_and_idempotent_rerun(self, tmp_path, monkeypatch, capsys):
+        _scaffold(tmp_path, monkeypatch)
+        md = self._report_file(tmp_path, monkeypatch)
+        pa.seednoise_report()
+        first = md.read_text()
+        assert pa._SEEDNOISE_HEADER in first
+        # inserted BEFORE the anchor, which survives with its tail
+        assert first.index(pa._SEEDNOISE_HEADER) < first.index(self.ANCHOR)
+        assert "tail stays intact" in first
+        # re-running replaces the section instead of duplicating it
+        pa.seednoise_report()
+        second = md.read_text()
+        assert second.count(pa._SEEDNOISE_HEADER) == 1
+        assert second.count(self.ANCHOR) == 1
+
+    def test_incomplete_artifacts_leave_file_untouched(
+        self, tmp_path, monkeypatch
+    ):
+        art = tmp_path / "parity_ablation"
+        monkeypatch.setattr(pa, "ART", art)
+        monkeypatch.setattr(pa, "SEED_ART", art / "seednoise")
+        md = self._report_file(tmp_path, monkeypatch)
+        pa.seednoise_report()
+        assert md.read_text() == self.DOC
