@@ -456,8 +456,8 @@ def report() -> None:
             tb = [float(r["val_dice_score"])
                   for r in _rows(bat_dir / f"{stem}_stage2_metrics.csv")]
             e1_dev = max(e1_dev, abs(ts[0] - tb[0]))
-            swing_s = max(swing_s, *(abs(x - y) for x, y in zip(ts, ts[1:])))
-            swing_b = max(swing_b, *(abs(x - y) for x, y in zip(tb, tb[1:])))
+            swing_s = max([swing_s] + [abs(x - y) for x, y in zip(ts, ts[1:])])
+            swing_b = max([swing_b] + [abs(x - y) for x, y in zip(tb, tb[1:])])
 
         lines += [
             f"- **{agree_rs}/{n}** significance verdicts agree between the",

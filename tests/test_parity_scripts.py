@@ -16,6 +16,7 @@ if str(REPO / "scripts") not in sys.path:
     sys.path.insert(0, str(REPO / "scripts"))
 
 pa = importlib.import_module("parity_ablation")
+ps = importlib.import_module("parity_sweep")
 
 # the two cells the bootstrap analysis called decisive-but-opposite
 _FLIP_CELL = ("stage1_vs_stage2", "in_dist", "hausdorff_distances")
@@ -150,3 +151,112 @@ class TestSeednoiseReportInsertion:
         md = self._report_file(tmp_path, monkeypatch)
         pa.seednoise_report()
         assert md.read_text() == self.DOC
+
+# ---------------------------------------------------------------- sweep
+
+_SWEEP_VARIANTS = ["S2.0 D=0.5", "S2.4 D=10"]
+_CSV_HEADER = "epoch,val_dice_score,train_loss\n"
+
+
+def _sweep_study(dirpath: Path, *, timestamp: str = "20260101_000000") -> Path:
+    """Minimal S2 study JSON + per-variant stage CSVs."""
+    run = dirpath / f"S2_{timestamp}"
+    run.mkdir(parents=True, exist_ok=True)
+    sc_cell = {"t_pvalue": 0.01, "wilcoxon_pvalue": 0.01, "significant": True}
+    doc = {
+        "variants": [{"name": v} for v in _SWEEP_VARIANTS],
+        "results": [
+            {
+                "config": {"name": v},
+                "stage_comparison": {
+                    d: {m: dict(sc_cell) for m in pa._METRICS}
+                    for d in ("in_dist", "out_dist")
+                },
+            }
+            for v in _SWEEP_VARIANTS
+        ],
+    }
+    for key in ("aggregated_results_in_dist", "aggregated_results_out_dist"):
+        doc[key] = {
+            v: {m: {"mean": 0.9} for m in pa._METRICS} for v in _SWEEP_VARIANTS
+        }
+    (run / f"ablation_S2_{timestamp}.json").write_text(json.dumps(doc))
+    for v in _SWEEP_VARIANTS:
+        stem = v.lower().replace(" ", "_")
+        for stage in ("stage1", "stage2"):
+            (run / f"{stem}_{stage}_metrics.csv").write_text(
+                _CSV_HEADER + "1,0.5,0.7\n2,0.6,0.6\n"
+            )
+    (run / "shared_stage1_metrics.csv").write_text(
+        _CSV_HEADER + "1,0.5,0.7\n2,0.6,0.6\n"
+    )
+    return run
+
+
+class TestSweepReport:
+    def _scaffold(self, tmp_path, monkeypatch):
+        art = tmp_path / "parity_sweep"
+        monkeypatch.setattr(ps, "ART", art)
+        repo = tmp_path / "repo"
+        repo.mkdir()
+        monkeypatch.setattr(ps, "REPO", repo)
+        _sweep_study(art / "reference")
+        _sweep_study(art / "ours_serial")
+        _sweep_study(art / "ours_batched")
+        # reference study files live flat (no S2_* run dir) in the real
+        # tree, but _load_study rglobs, so the run-dir layout also works
+        return art, repo / "PARITY_SWEEP.md"
+
+    def test_report_without_probe(self, tmp_path, monkeypatch, capsys):
+        _, md = self._scaffold(tmp_path, monkeypatch)
+        ps.report()
+        text = md.read_text()
+        assert "## Agreement" in text
+        assert "**16/16** significance verdicts agree" in text
+        assert "Stage I is identical" in text
+        assert "probe-precision" not in text  # no probe json yet
+
+    def test_report_folds_probe_in(self, tmp_path, monkeypatch, capsys):
+        art, md = self._scaffold(tmp_path, monkeypatch)
+        probe = art / "precision_probe"
+        probe.mkdir(parents=True)
+        (probe / "summary.json").write_text(json.dumps({
+            "platform": "tpu",
+            "variant": "S2.4 D=10",
+            "modes": {
+                "default": {
+                    "epoch1_abs_delta": 0.2,
+                    "final_in_dist_dice_abs_delta": 0.5,
+                },
+                "highest": {
+                    "epoch1_abs_delta": 1e-5,
+                    "final_in_dist_dice_abs_delta": 1e-4,
+                },
+            },
+        }))
+        ps.report()
+        text = md.read_text()
+        assert "probe-precision" in text
+        assert "shrinks the epoch-1 fork 20,000×" in text
+
+    def test_report_flags_unconfirmed_probe(self, tmp_path, monkeypatch, capsys):
+        art, md = self._scaffold(tmp_path, monkeypatch)
+        probe = art / "precision_probe"
+        probe.mkdir(parents=True)
+        (probe / "summary.json").write_text(json.dumps({
+            "platform": "tpu",
+            "variant": "S2.4 D=10",
+            "modes": {
+                "default": {
+                    "epoch1_abs_delta": 0.2,
+                    "final_in_dist_dice_abs_delta": 0.5,
+                },
+                "highest": {
+                    "epoch1_abs_delta": 0.1,
+                    "final_in_dist_dice_abs_delta": 0.4,
+                },
+            },
+        }))
+        ps.report()
+        text = md.read_text()
+        assert "does NOT confirm" in text
