@@ -71,7 +71,7 @@ from .utils.plot import (  # noqa: F401
     plot_two_stage_comparison,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 

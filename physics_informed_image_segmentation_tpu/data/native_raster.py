@@ -12,7 +12,9 @@ rasterizers may disagree on a thin ring of sub-pixel boundary cases).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import sys
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -21,8 +23,39 @@ import numpy as np
 __all__ = ["native_available", "rasterize_native", "rasterize_batch_native"]
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-_SRC = _REPO_ROOT / "native" / "rasterize.cpp"
-_BUILD_DIR = _REPO_ROOT / "native" / "build"
+
+
+def _find_source() -> Path:
+    """Locate rasterize.cpp in a checkout or an installed layout.
+
+    Checkout / editable install: ``<repo>/native/rasterize.cpp``.
+    Wheel install: shipped as a data file under
+    ``<prefix>/share/physics_informed_image_segmentation_tpu/native/``
+    (pyproject.toml ``[tool.setuptools.data-files]``).
+    """
+    share = Path("share") / "physics_informed_image_segmentation_tpu" / "native"
+    candidates = [_REPO_ROOT / "native" / "rasterize.cpp"] + [
+        Path(prefix) / share / "rasterize.cpp"
+        # _REPO_ROOT covers `pip install --target DIR` (share/ lands in DIR)
+        for prefix in dict.fromkeys((sys.prefix, sys.exec_prefix, _REPO_ROOT))
+    ]
+    for c in candidates:
+        if c.exists():
+            return c
+    return candidates[0]  # report the checkout path in the build error
+
+
+def _build_dir(src: Path) -> Path:
+    """Prefer building next to the source; fall back to a user cache."""
+    native_dir = src.parent
+    if os.access(native_dir, os.W_OK):
+        return native_dir / "build"
+    cache = os.environ.get("XDG_CACHE_HOME") or str(Path.home() / ".cache")
+    return Path(cache) / "physics_informed_image_segmentation_tpu" / "native"
+
+
+_SRC = _find_source()
+_BUILD_DIR = _build_dir(_SRC)
 _SO = _BUILD_DIR / "librasterize.so"
 
 _lib = None
