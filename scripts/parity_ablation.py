@@ -24,6 +24,10 @@ Usage (steps are independent / resumable):
     python scripts/parity_ablation.py bootstrap   # verdict-stability resampling
     python scripts/parity_ablation.py report      # assemble PARITY_ABLATION.md
     python scripts/parity_ablation.py seednoise-reference  # R1.3 extra seeds, ref
+    python scripts/parity_ablation.py seednoise-salvage    # persist an
+                                  # interrupted seed run's stage artifacts
+    python scripts/parity_ablation.py seednoise-reference-resume  # resume an
+                                  # interrupted seed from stage checkpoints
     python scripts/parity_ablation.py seednoise-ours       # R1.3 extra seeds, ours
     python scripts/parity_ablation.py seednoise-report     # fold into the report
 
@@ -484,6 +488,167 @@ def run_seednoise_reference() -> None:
         print(f"seed {seed}: reference artifacts -> {out}")
 
 
+# Single-variant resume driver for an interrupted seed run: identical
+# short-circuit strategy to RESUME_DRIVER (reload a stage's post-stage
+# checkpoint + per-epoch CSV when both exist; every evaluation and
+# statistic is recomputed by unmodified reference code).  Stage III has
+# no cacheable checkpoint and always retrains — it is the cheapest
+# stage (exactly the epochs Stage II ran, no early stopping).
+SEED_RESUME_DRIVER = textwrap.dedent(
+    """
+    import os, shutil, sys
+    from pathlib import Path
+    import pandas as pd
+    import torch
+    sys.path.insert(0, '.')
+    from run_ablation import define_ablation_r1
+    import src.ablation as abl
+
+    OLD = Path(os.environ['PARITY_RESUME_FROM'])
+    _orig_train_stage = abl.train_stage
+
+    def cached_train_stage(model, train_loader, val_loader, criterion,
+                           optimizer, device, num_epochs, stage_name,
+                           early_stopping=None, verbose=True, csv_path=None):
+        if csv_path is not None:
+            stem = Path(csv_path).name.replace('_metrics.csv', '')
+            prefix, stage = stem.rsplit('_stage', 1)
+            weights = {{
+                '1': [prefix + '_baseline_after_stage1.pth'],
+                '2': [prefix + '_after_pde_stage2.pth', prefix + '_42.pth'],
+            }}.get(stage, [])
+            old_csv = OLD / Path(csv_path).name
+            wpath = next((OLD / w for w in weights if (OLD / w).exists()), None)
+            if old_csv.exists() and wpath is not None:
+                model.load_state_dict(torch.load(wpath, map_location=device))
+                shutil.copy2(old_csv, csv_path)
+                all_metrics = pd.read_csv(old_csv).to_dict('records')
+                print('[resume] ' + stage_name + ': reloaded ' + wpath.name
+                      + ' + ' + old_csv.name + ' ('
+                      + str(len(all_metrics))
+                      + ' epochs) from the interrupted run')
+                return {{}}, 0, all_metrics
+        return _orig_train_stage(model, train_loader, val_loader, criterion,
+                                 optimizer, device, num_epochs, stage_name,
+                                 early_stopping=early_stopping,
+                                 verbose=verbose, csv_path=csv_path)
+
+    abl.train_stage = cached_train_stage
+    v = define_ablation_r1()[3]          # 'R1.3 RD + Phase-Field'
+    v.use_three_stage = True
+    v.seed = {seed}
+    abl.run_ablation_study(
+        'R1S{seed}', [v],
+        train_dir='images/training',
+        train_json='images/annotation/training_annotation.json',
+        val_dir='images/validation',
+        val_json='images/annotation/validation_annotation.json',
+        in_dist_test_dir='images/in_dist_testing',
+        in_dist_test_json='images/annotation/in_dist_testing_annotation.json',
+        out_dist_test_dir='images/out_dist_testing',
+        out_dist_test_json='images/annotation/out_dist_testing_annotation.json',
+        device=torch.device('cpu'),
+        batch_size={batch_size}, learning_rate={learning_rate},
+        stage1_epochs={stage1_epochs}, stage2_epochs={stage2_epochs},
+        early_stopping_patience={early_stopping_patience},
+    )
+    """
+)
+
+
+def run_seednoise_salvage() -> None:
+    """Persist an interrupted reference seed run's stage artifacts.
+
+    Copies per-stage CSVs and checkpoints of any incomplete
+    ``R1S{seed}`` run from the /tmp working copy into
+    ``artifacts/parity_ablation/seednoise/_interrupted/`` so a /tmp
+    wipe (round boundary, reboot) costs only the in-flight stage, not
+    the completed ones.  ``seednoise-reference-resume`` reads either
+    location.
+    """
+    src = REF_SEED_RUN / "output" / "ablation"
+    done = SEED_ART / "reference"
+    n = 0
+    for d in sorted(src.glob("R1S*_*")) if src.exists() else []:
+        seed = d.name.split("_")[0][len("R1S"):]
+        if sorted(done.rglob(f"ablation_R1S{seed}_*.json")):
+            continue  # seed completed normally; full artifacts collected
+        for f in d.iterdir():
+            if f.suffix in (".csv", ".pth"):
+                dest = SEED_ART / "_interrupted" / d.name / f.name
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(f, dest)
+                n += 1
+    print(f"salvaged {n} stage artifacts -> {SEED_ART / '_interrupted'}"
+          if n else "nothing to salvage")
+
+
+def run_seednoise_reference_resume() -> None:
+    """Resume interrupted reference seed runs from stage checkpoints.
+
+    For each extra seed without collected artifacts, finds the newest
+    interrupted ``R1S{seed}_*`` run dir — live under /tmp or salvaged
+    under ``seednoise/_interrupted`` — and re-runs the reference study
+    with completed stages short-circuited (checkpoint + CSV reload);
+    only the lost stage(s) retrain.  Requires the dataset (`data` step
+    rebuilds it bit-identically if /tmp was wiped).
+    """
+    out = SEED_ART / "reference"
+    out.mkdir(parents=True, exist_ok=True)
+    for seed in R13_EXTRA_SEEDS:
+        if sorted(out.rglob(f"ablation_R1S{seed}_*.json")):
+            print(f"seed {seed}: reference artifacts already present, skipping")
+            continue
+        live = (sorted((REF_SEED_RUN / "output" / "ablation")
+                       .glob(f"R1S{seed}_*"))
+                if (REF_SEED_RUN / "output" / "ablation").exists() else [])
+        salvaged = sorted((SEED_ART / "_interrupted").glob(f"R1S{seed}_*"))
+        if not (live or salvaged):
+            print(f"seed {seed}: no interrupted run found — use "
+                  "`seednoise-reference` for a fresh run")
+            continue
+        # Park live interrupted dirs outside output/ so the fresh
+        # study's artifact glob stays clean; prefer the live copy
+        # (newest wins) over a salvage of the same run.
+        parked = []
+        for d in live:
+            tgt = REF_SEED_RUN / "_interrupted" / d.name
+            tgt.parent.mkdir(exist_ok=True)
+            if tgt.exists():
+                shutil.rmtree(tgt)
+            shutil.move(str(d), tgt)
+            parked.append(tgt)
+        resume_src = (parked or salvaged)[-1]
+        if not (REF_SEED_RUN / "src").exists():
+            # /tmp working copy gone (wipe): rebuild it fresh
+            shutil.copytree("/root/reference", REF_SEED_RUN,
+                            dirs_exist_ok=True)
+        target = REF_SEED_RUN / "images"
+        if target.exists() or target.is_symlink():
+            if target.is_symlink():
+                target.unlink()
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+        target.symlink_to(DATA_ROOT / "images")
+        env = dict(os.environ)
+        env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1",
+                   PYTHONUNBUFFERED="1",
+                   PARITY_RESUME_FROM=str(resume_src))
+        (REF_SEED_RUN / "_seednoise_resume_driver.py").write_text(
+            SEED_RESUME_DRIVER.format(seed=seed, **HP))
+        print(f"reference R1.3 seed={seed} RESUMING from {resume_src} ...",
+              flush=True)
+        subprocess.run([sys.executable, "_seednoise_resume_driver.py"],
+                       cwd=REF_SEED_RUN, env=env, check=True)
+        for src in (REF_SEED_RUN / "output" / "ablation").glob(f"R1S{seed}_*"):
+            for f in src.rglob("*"):
+                if f.suffix in (".json", ".csv"):
+                    dest = out / src.name / f.relative_to(src)
+                    dest.parent.mkdir(parents=True, exist_ok=True)
+                    shutil.copy2(f, dest)
+        print(f"seed {seed}: reference artifacts -> {out}")
+
+
 def run_seednoise_ours() -> None:
     """R1.3 at each extra seed through this framework (resumable)."""
     from physics_informed_image_segmentation_tpu.experiments import (
@@ -915,5 +1080,7 @@ if __name__ == "__main__":
      "reference-resume": run_reference_resume, "ours": run_ours,
      "bootstrap": bootstrap, "report": report,
      "seednoise-reference": run_seednoise_reference,
+     "seednoise-salvage": run_seednoise_salvage,
+     "seednoise-reference-resume": run_seednoise_reference_resume,
      "seednoise-ours": run_seednoise_ours,
      "seednoise-report": seednoise_report}[step]()

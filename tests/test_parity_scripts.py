@@ -152,6 +152,101 @@ class TestSeednoiseReportInsertion:
         pa.seednoise_report()
         assert md.read_text() == self.DOC
 
+class TestSeednoiseSalvageResume:
+    """Crash-recovery for the hours-long reference seed runs: `salvage`
+    persists an interrupted run's stage artifacts into the repo, and
+    `reference-resume` restarts from them, retraining only lost stages."""
+
+    def _scaffold(self, tmp_path, monkeypatch):
+        seed_art = tmp_path / "seednoise"
+        ref_run = tmp_path / "refseednoise"
+        data_root = tmp_path / "data"
+        (data_root / "images").mkdir(parents=True)
+        monkeypatch.setattr(pa, "SEED_ART", seed_art)
+        monkeypatch.setattr(pa, "REF_SEED_RUN", ref_run)
+        monkeypatch.setattr(pa, "DATA_ROOT", data_root)
+        return seed_art, ref_run
+
+    def _interrupted_run(self, ref_run, seed, ts="20260101_000000"):
+        d = ref_run / "output" / "ablation" / f"R1S{seed}_{ts}"
+        d.mkdir(parents=True)
+        (d / "r1.3_rd_+_phase-field_stage1_metrics.csv").write_text("epoch\n1\n")
+        (d / "r1.3_rd_+_phase-field_baseline_after_stage1.pth").write_bytes(b"w")
+        (d / "irrelevant.log").write_text("x")
+        return d
+
+    def test_salvage_copies_only_incomplete_seed_stage_files(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        seed_art, ref_run = self._scaffold(tmp_path, monkeypatch)
+        self._interrupted_run(ref_run, 123)
+        # seed 777 completed normally: its full artifacts are collected
+        done = ref_run / "output" / "ablation" / "R1S777_20260101_000001"
+        done.mkdir(parents=True)
+        (done / "x.csv").write_text("epoch\n")
+        _write_study(seed_art / "reference" / "R1S777_20260101_000001", "R1S777")
+        pa.run_seednoise_salvage()
+        saved = sorted(
+            p.name for p in (seed_art / "_interrupted").rglob("*") if p.is_file()
+        )
+        assert saved == [
+            "r1.3_rd_+_phase-field_baseline_after_stage1.pth",
+            "r1.3_rd_+_phase-field_stage1_metrics.csv",
+        ]
+        assert not list((seed_art / "_interrupted").glob("R1S777_*"))
+
+    def test_resume_skips_done_and_missing_seeds(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        seed_art, _ = self._scaffold(tmp_path, monkeypatch)
+        _write_study(seed_art / "reference" / "R1S123_20260101_000000", "R1S123")
+        calls = []
+        monkeypatch.setattr(pa.subprocess, "run", lambda *a, **k: calls.append(a))
+        pa.run_seednoise_reference_resume()
+        out = capsys.readouterr().out
+        assert "seed 123: reference artifacts already present" in out
+        assert "seed 777: no interrupted run found" in out
+        assert calls == []
+
+    def test_resume_parks_live_run_and_collects_artifacts(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        seed_art, ref_run = self._scaffold(tmp_path, monkeypatch)
+        (ref_run / "src").mkdir(parents=True)  # working copy "exists"
+        live = self._interrupted_run(ref_run, 123)
+        # a stale salvage of the same seed must LOSE to the live copy
+        stale = seed_art / "_interrupted" / "R1S123_20250101_000000"
+        stale.mkdir(parents=True)
+        envs = {}
+
+        def fake_run(cmd, cwd=None, env=None, check=None):
+            envs["resume_from"] = env["PARITY_RESUME_FROM"]
+            d = ref_run / "output" / "ablation" / "R1S123_20260102_000000"
+            d.mkdir(parents=True)
+            (d / "ablation_R1S123_20260102_000000.json").write_text("{}")
+            (d / "r1.3_rd_+_phase-field_stage1_metrics.csv").write_text("e\n")
+            (d / "weights.pth").write_bytes(b"w")
+
+        monkeypatch.setattr(pa.subprocess, "run", fake_run)
+        pa.run_seednoise_reference_resume()
+        # live interrupted dir was parked out of output/ and used as source
+        assert envs["resume_from"] == str(ref_run / "_interrupted" / live.name)
+        assert not live.exists()
+        # driver was written with the seed baked in
+        driver = (ref_run / "_seednoise_resume_driver.py").read_text()
+        assert "R1S123" in driver and "v.seed = 123" in driver
+        # fresh run's JSON/CSV collected into the artifact tree, pth not
+        got = sorted(
+            p.name
+            for p in (seed_art / "reference").rglob("*")
+            if p.is_file()
+        )
+        assert got == [
+            "ablation_R1S123_20260102_000000.json",
+            "r1.3_rd_+_phase-field_stage1_metrics.csv",
+        ]
+
+
 # ---------------------------------------------------------------- sweep
 
 _SWEEP_VARIANTS = ["S2.0 D=0.5", "S2.4 D=10"]
