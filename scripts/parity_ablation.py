@@ -812,12 +812,54 @@ def _seednoise_section() -> list | None:
                "stable across the seeds tried (attribution for this cell "
                "rests on the bootstrap analysis above).")
         )
-    lines += [
-        "",
-        "Dice/IoU primary-endpoint verdicts (Stage I vs II significant) are",
-        "expected to stay unanimous across every seed and framework — any",
-        "flip there WOULD implicate an engine, not noise.",
-    ]
+    # Primary endpoint (Stage I vs II, Dice/IoU): computed, not asserted —
+    # a flip unique to THIS framework would implicate its engine, while a
+    # flip inside the reference across its own seeds is more of the same
+    # seed noise this experiment measures.
+    pe_pairs = [(d, m) for d in ("in_dist", "out_dist")
+                for m in ("dice_scores", "iou_scores")]
+    lines.append("")
+    pe_sig = {}
+    for side in ("reference", "ours"):
+        tot = sig = 0
+        ns_cells = []
+        for s in seeds_by[side]:
+            for dist, m in pe_pairs:
+                c = cell(side, s, "stage1_vs_stage2", dist, m)
+                if not c:
+                    continue
+                tot += 1
+                if c["significant"]:
+                    sig += 1
+                else:
+                    ns_cells.append((s, dist, m, c))
+        pe_sig[side] = (sig, tot)
+        desc = (f"- Primary endpoint (Stage I vs II, Dice/IoU): {side} "
+                f"**{sig}/{tot}** SIG across its seeds")
+        if ns_cells:
+            desc += " — ns at " + "; ".join(
+                f"s{s} {dist} {_SHORT[m]} (t-p {c['t_pvalue']:.3f}"
+                + (f", Stage-I mean already {c['baseline_mean']:.4f}"
+                   if "baseline_mean" in c else "")
+                + ")"
+                for s, dist, m, c in ns_cells)
+        lines.append(desc + ".")
+    if pe_sig["ours"][0] == pe_sig["ours"][1] != 0:
+        lines.append(
+            "- This framework's primary endpoint is unanimous across every "
+            "seed" + (
+                "; the only primary-endpoint flips occur WITHIN the "
+                "reference across its own seeds (at a near-ceiling Stage-I "
+                "model the fine-tune's measurable gain can vanish at a "
+                "given seed) — endpoint verdicts at n=50 are themselves "
+                "seed-sensitive, which is this experiment's point."
+                if pe_sig["reference"][0] != pe_sig["reference"][1]
+                else " and in the reference — no engine is implicated."))
+    else:
+        lines.append(
+            "- NOTE: this framework flips its own primary endpoint across "
+            "seeds — that pattern COULD implicate the engine and needs "
+            "investigation, not a noise attribution.")
     prov = SEED_ART / "provenance.json"
     if prov.exists():
         with open(prov) as f:

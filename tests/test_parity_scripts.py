@@ -92,6 +92,44 @@ class TestSeednoiseSection:
         assert "s42: 24/24" in text and "s123: 24/24" in text
         # stable decisive-opposite cells fall back to the bootstrap claim
         assert "stable across the seeds tried" in text
+        # primary endpoint: all-SIG scaffold -> unanimous on both sides
+        assert "reference **8/8** SIG" in text
+        assert "ours **8/8** SIG" in text
+        assert "no engine is implicated" in text
+
+    def test_primary_endpoint_flip_in_reference_is_called_noise(
+        self, tmp_path, monkeypatch
+    ):
+        pe_cell = ("stage1_vs_stage2", "in_dist", "dice_scores")
+        _scaffold(tmp_path, monkeypatch, ref_flip_seed=123)
+        # flip a PRIMARY cell in the reference at seed 123 only
+        art = tmp_path / "parity_ablation"
+        _write_study(
+            art / "seednoise" / "reference",
+            "R1S123",
+            flip_cells=(pe_cell,),
+            flip=False,
+        )
+        text = "\n".join(pa._seednoise_section())
+        assert "reference **7/8** SIG" in text
+        assert "ours **8/8** SIG" in text
+        assert "WITHIN the reference across its own seeds" in text
+
+    def test_primary_endpoint_flip_in_ours_is_flagged(
+        self, tmp_path, monkeypatch
+    ):
+        pe_cell = ("stage1_vs_stage2", "out_dist", "iou_scores")
+        _scaffold(tmp_path, monkeypatch)
+        art = tmp_path / "parity_ablation"
+        _write_study(
+            art / "seednoise" / "ours",
+            "R1S123",
+            flip_cells=(pe_cell,),
+            flip=False,
+        )
+        text = "\n".join(pa._seednoise_section())
+        assert "ours **7/8** SIG" in text
+        assert "COULD implicate the engine" in text
 
     def test_within_framework_flip_is_detected(self, tmp_path, monkeypatch):
         _scaffold(tmp_path, monkeypatch, ref_flip_seed=123)
