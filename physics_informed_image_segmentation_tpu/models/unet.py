@@ -63,6 +63,38 @@ def _check_activation(name: str) -> str:
     return lower
 
 
+# ---------------------------------------------------------------------------
+# Initialisation families.
+#
+# Default ("lecun"): flax-idiomatic lecun_normal kernels + zero biases.
+# "torch": the distribution family torch's Conv2d/ConvTranspose2d resets to
+# (kaiming_uniform(a=sqrt(5)) kernels — uniform with variance 1/(3*fan) —
+# and uniform ±1/sqrt(fan) biases; torch.nn.modules.conv._ConvNd
+# .reset_parameters).  The families differ most in the BIAS: torch draws a
+# random bias, lecun zeroes it — so at init the torch-family output conv
+# emits sigmoid(b)≠0.5, giving a non-degenerate thresholded prediction at
+# epoch 0, while the zero-bias family starts at exactly 0.5 everywhere.
+# The HD-gap attribution probe (scripts/hd_gap_probe.py) measures how much
+# of the low-data Stage-I trajectory difference this explains.
+#
+# fan conventions (matching torch's _calculate_fan_in_and_fan_out):
+#   Conv2d weight (out, in, kh, kw)          -> fan = in  * kh * kw
+#   ConvTranspose2d weight (in, out, kh, kw) -> fan = out * kh * kw
+# ---------------------------------------------------------------------------
+
+# uniform kernel with variance scale/fan: bound = sqrt(3*scale/fan);
+# scale=1/3 gives torch's kaiming_uniform(a=sqrt(5)) bound of 1/sqrt(fan).
+_TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+_TORCH_KERNEL_INIT_T = nn.initializers.variance_scaling(1.0 / 3.0, "fan_out", "uniform")
+
+
+def _torch_bias_init(fan: int):
+    bound = 1.0 / (fan ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class _SplitFirstConv(nn.Module):
     """3×3 conv over the channel-concat of ``(a, b)`` WITHOUT
     materialising the concat.
@@ -80,16 +112,23 @@ class _SplitFirstConv(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         ca, cb = a.shape[-1], b.shape[-1]
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            _TORCH_KERNEL_INIT if self.torch_init else nn.initializers.lecun_normal(),
             (3, 3, ca + cb, self.features),
         )
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        bias = self.param(
+            "bias",
+            _torch_bias_init(9 * (ca + cb))
+            if self.torch_init
+            else nn.initializers.zeros_init(),
+            (self.features,),
+        )
         k = kernel.astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
         ya = jax.lax.conv_general_dilated(
@@ -119,6 +158,7 @@ class DoubleConv(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(
@@ -137,19 +177,28 @@ class DoubleConv(nn.Module):
         else:
             act = ACTIVATIONS[act_name]
 
+        def conv(feats, in_ch, name):
+            if self.torch_init:
+                return nn.Conv(
+                    feats, (3, 3), padding=1, dtype=self.dtype, name=name,
+                    kernel_init=_TORCH_KERNEL_INIT,
+                    bias_init=_torch_bias_init(9 * in_ch),
+                )
+            return nn.Conv(feats, (3, 3), padding=1, dtype=self.dtype, name=name)
+
         if skip is not None:
-            x = _SplitFirstConv(self.features, self.dtype, name="conv1")(x, skip)
+            x = _SplitFirstConv(
+                self.features, self.dtype, self.torch_init, name="conv1"
+            )(x, skip)
         else:
-            x = nn.Conv(
-                self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-            )(x)
+            x = conv(self.features, x.shape[-1], "conv1")(x)
         x = act(x)
         if self.dropout > 0:
             # broadcast over (H, W) => channel dropout, like nn.Dropout2d.
             x = nn.Dropout(
                 rate=self.dropout, broadcast_dims=(1, 2), deterministic=deterministic
             )(x)
-        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        x = conv(self.features, self.features, "conv2")(x)
         return act(x)
 
 
@@ -174,6 +223,7 @@ class FastUpsample(nn.Module):
     #   "convtranspose"  native lax.conv_transpose lowering, the A/B
     #              control the matmul formulations were built against.
     variant: str = "einsum6"
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -185,10 +235,17 @@ class FastUpsample(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            # torch ConvTranspose2d fans over weight dim 1 = out channels
+            _TORCH_KERNEL_INIT_T if self.torch_init else nn.initializers.lecun_normal(),
             (2, 2, in_ch, self.features),
         )
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        bias = self.param(
+            "bias",
+            _torch_bias_init(4 * self.features)
+            if self.torch_init
+            else nn.initializers.zeros_init(),
+            (self.features,),
+        )
         # lax.conv_transpose applies the kernel spatially flipped
         k = kernel[::-1, ::-1].astype(self.dtype)
         xc = x.astype(self.dtype)
@@ -271,6 +328,13 @@ class UNet(nn.Module):
     # (bit-compatible with select-and-scatter/torch incl. ties, ~0.4 ms
     # per step faster — see ops/pool.py); "xla": flax nn.max_pool.
     pool: str = "fused"
+    # "lecun" (flax-idiomatic default) | "torch" (torch's reset_parameters
+    # family: kaiming_uniform(a=sqrt(5)) kernels + uniform ±1/sqrt(fan)
+    # biases).  Same parameter tree either way — checkpoints interchange.
+    # "torch" matters in the low-data regime: the zero-bias default makes
+    # the epoch-0 thresholded prediction degenerate (sigmoid(0)=0.5
+    # everywhere), see the init-family note above and HD_GAP.md.
+    param_init: str = "lecun"
 
     def setup(self):
         if self.output_activation.lower() not in ("sigmoid", "tanh"):
@@ -284,6 +348,12 @@ class UNet(nn.Module):
                 "Must be 'concat' or 'split'"
             )
         _check_activation(self.intermediate_activation)
+        if self.param_init not in ("lecun", "torch"):
+            raise ValueError(
+                f"Unsupported param_init: {self.param_init!r}. "
+                "Must be 'lecun' or 'torch'"
+            )
+        ti = self.param_init == "torch"
         c, act, d, dt = (
             self.base_channels,
             self.intermediate_activation,
@@ -294,26 +364,39 @@ class UNet(nn.Module):
             nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         )
         if self.fast_upsample:
-            Up = lambda feats: FastUpsample(feats, dt, self.upsample_variant)
+            Up = lambda feats: FastUpsample(feats, dt, self.upsample_variant, ti)
+        elif ti:
+            Up = lambda feats: nn.ConvTranspose(
+                feats, (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+                kernel_init=_TORCH_KERNEL_INIT_T,
+                bias_init=_torch_bias_init(4 * feats),
+            )
         else:
             Up = lambda feats: nn.ConvTranspose(
                 feats, (2, 2), strides=(2, 2), padding="VALID", dtype=dt
             )
         # Dropout schedule of /root/reference/src/unet.py:120-154.
-        self.enc1 = Block(c, 0.0, act, dt)
-        self.enc2 = Block(c * 2, d * 0.5, act, dt)
-        self.enc3 = Block(c * 4, d, act, dt)
-        self.enc4 = Block(c * 8, d, act, dt)
-        self.bottleneck = Block(c * 8, d, act, dt)
+        self.enc1 = Block(c, 0.0, act, dt, ti)
+        self.enc2 = Block(c * 2, d * 0.5, act, dt, ti)
+        self.enc3 = Block(c * 4, d, act, dt, ti)
+        self.enc4 = Block(c * 8, d, act, dt, ti)
+        self.bottleneck = Block(c * 8, d, act, dt, ti)
         self.up4 = Up(c * 8)
-        self.dec4 = Block(c * 8, d, act, dt)
+        self.dec4 = Block(c * 8, d, act, dt, ti)
         self.up3 = Up(c * 4)
-        self.dec3 = Block(c * 4, d * 0.5, act, dt)
+        self.dec3 = Block(c * 4, d * 0.5, act, dt, ti)
         self.up2 = Up(c * 2)
-        self.dec2 = Block(c * 2, d * 0.5, act, dt)
+        self.dec2 = Block(c * 2, d * 0.5, act, dt, ti)
         self.up1 = Up(c)
-        self.dec1 = Block(c, 0.0, act, dt)
-        self.out_conv = nn.Conv(self.out_channels, (1, 1), dtype=dt)
+        self.dec1 = Block(c, 0.0, act, dt, ti)
+        if ti:
+            self.out_conv = nn.Conv(
+                self.out_channels, (1, 1), dtype=dt,
+                kernel_init=_TORCH_KERNEL_INIT,
+                bias_init=_torch_bias_init(c),
+            )
+        else:
+            self.out_conv = nn.Conv(self.out_channels, (1, 1), dtype=dt)
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         """(B, H, W, C_in) → probability map (B, H, W, out_channels) in (0, 1)."""

@@ -195,3 +195,58 @@ def test_remat_identical_outputs_and_grads():
         g0,
         g1,
     )
+
+
+class TestTorchInitFamily:
+    """`param_init="torch"` — torch's reset_parameters distribution family
+    (kaiming_uniform(a=sqrt(5)) kernels, uniform ±1/sqrt(fan) biases)."""
+
+    def test_same_param_tree_and_count(self):
+        x = jnp.zeros((1, 32, 32, 1))
+        pa = UNet(base_channels=8).init(jax.random.key(0), x)
+        pb = UNet(base_channels=8, param_init="torch").init(jax.random.key(0), x)
+        ka = {str(k): v.shape for k, v in jax.tree_util.tree_leaves_with_path(pa)}
+        kb = {str(k): v.shape for k, v in jax.tree_util.tree_leaves_with_path(pb)}
+        assert ka == kb
+        assert count_parameters(pa) == count_parameters(pb)
+
+    def test_biases_nonzero_and_bounded(self):
+        x = jnp.zeros((1, 32, 32, 1))
+        p = UNet(base_channels=8, param_init="torch").init(jax.random.key(0), x)
+        biases = [
+            (str(k), np.asarray(v))
+            for k, v in jax.tree_util.tree_leaves_with_path(p)
+            if "bias" in str(k)
+        ]
+        assert biases and any(np.abs(b).max() > 0 for _, b in biases)
+        # enc1/conv1: fan = 9 * 1 -> bound 1/3; all draws inside the bound
+        first = [b for k, b in biases if "enc1" in k and "conv1" in k][0]
+        assert np.abs(first).max() <= 1.0 / 3.0
+
+    def test_kernel_scale_matches_torch_family(self):
+        # enc1/conv2 kernel (3,3,8,8): torch bound = 1/sqrt(fan_in=72)
+        x = jnp.zeros((1, 32, 32, 1))
+        p = UNet(base_channels=8, param_init="torch").init(jax.random.key(0), x)
+        k = [
+            np.asarray(v)
+            for kk, v in jax.tree_util.tree_leaves_with_path(p)
+            if "enc1" in str(kk) and "conv2" in str(kk) and "kernel" in str(kk)
+        ][0]
+        bound = 1.0 / np.sqrt(9 * k.shape[2])
+        assert np.abs(k).max() <= bound
+        # uniform in ±bound has std bound/sqrt(3); check within 15%
+        assert abs(k.std() - bound / np.sqrt(3)) < 0.15 * bound
+
+    def test_initial_prediction_not_degenerate(self):
+        # the zero-bias default emits exactly 0.5 everywhere at init (the
+        # thresholded prediction is degenerate-empty); the torch family
+        # emits sigmoid(b) != 0.5
+        x = jnp.zeros((2, 32, 32, 1))
+        m = UNet(base_channels=8, param_init="torch")
+        out = np.asarray(m.apply(m.init(jax.random.key(3), x), x))
+        assert abs(float(out.mean()) - 0.5) > 1e-4
+
+    def test_invalid_value_raises(self):
+        x = jnp.zeros((1, 32, 32, 1))
+        with pytest.raises(ValueError, match="param_init"):
+            UNet(base_channels=8, param_init="xavier").init(jax.random.key(0), x)
