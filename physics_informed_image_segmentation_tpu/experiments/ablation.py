@@ -86,6 +86,13 @@ class AblationConfig:
     stage3_epochs: Optional[int] = None
     output_activation: str = "sigmoid"
     intermediate_activation: str = "relu"
+    # TPU-build extra (not in the reference's 18 fields): parameter-init
+    # family — "lecun" (flax default; zero biases) or "torch" (the
+    # kaiming-uniform family torch Conv2d resets to).  The low-data
+    # HD-gap attribution (PARITY_R3.md) shows the init family decides
+    # whether chaotic short-budget Stage-I trajectories collapse, so
+    # parity studies can match the reference's family explicitly.
+    param_init: str = "lecun"
     seed: int = 42
 
     def to_dict(self) -> Dict:
@@ -284,6 +291,7 @@ def run_ablation_variant(
         base_channels=base_channels,
         output_activation=config.output_activation,
         intermediate_activation=config.intermediate_activation,
+        param_init=config.param_init,
         dtype=dtype,
     )
     h, w = int(train_data.images.shape[1]), int(train_data.images.shape[2])

@@ -476,6 +476,7 @@ def run_batched_study(
         base_channels=base_channels,
         output_activation=base.output_activation,
         intermediate_activation=base.intermediate_activation,
+        param_init=base.param_init,
         dtype=dtype,
     )
     h, w = int(train_data.images.shape[1]), int(train_data.images.shape[2])

@@ -206,6 +206,7 @@ def train(
     checkpoint_keep: Optional[int] = 2,
     resume: bool = False,
     base_channels: int = 64,
+    param_init: str = "lecun",
 ) -> dict:
     """Run the full two-stage (or single-stage) pipeline; returns artifacts.
 
@@ -296,6 +297,7 @@ def train(
         in_channels=1,
         out_channels=1,
         base_channels=base_channels,
+        param_init=param_init,
         dtype=_precision_dtype(precision),
     )
     h, w = int(train_data.images.shape[1]), int(train_data.images.shape[2])
