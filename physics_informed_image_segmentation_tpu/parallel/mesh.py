@@ -68,12 +68,12 @@ def initialize_distributed(
 ) -> None:
     """Multi-host init (`jax.distributed.initialize`).  On TPU pods all
     arguments are auto-detected from the environment; no-op if already
-    initialised."""
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except RuntimeError as e:  # already initialised
-        if "already initialized" not in str(e):
-            raise
+    initialised.  Must run before anything touches the XLA backend
+    (tested end-to-end by tests/test_distributed.py, which executes it
+    across two coordinated processes)."""
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -46,8 +46,30 @@ def _batch_constraint(mesh: Mesh, spatial: bool):
 
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Replicate params/optimizer over the mesh (pure data parallelism)."""
-    return jax.device_put(state, NamedSharding(mesh, P()))
+    """Replicate params/optimizer over the mesh (pure data parallelism).
+
+    Works on single-process meshes (plain ``device_put``) and on
+    multi-process global meshes, where ``device_put`` to a
+    non-addressable sharding is invalid: every process holds the full
+    (identically-seeded) state, so each leaf is promoted to a global
+    replicated array from its process-local copy
+    (tests/test_distributed.py executes this path across 2 processes).
+    """
+    sharding = NamedSharding(mesh, P())
+    if sharding.is_fully_addressable:
+        return jax.device_put(state, sharding)
+
+    import numpy as np
+
+    def promote(leaf):
+        if jax.dtypes.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(leaf))
+            )
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(leaf))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(leaf))
+
+    return jax.tree_util.tree_map(promote, state)
 
 
 def make_sharded_epoch_fns(
