@@ -53,16 +53,33 @@ HP = dict(
     epsilon=0.05,
 )
 
+# --contract (VERDICT r3 item 4): the same multi-seed pooled protocol
+# at the reference's CONTRACT budget — <=50+50 early-stopped epochs,
+# patience 5 — on the 150/40/40 dataset of PARITY_RUN.md's tagged
+# contract run, so the single-seed 4/4 verdict disagreement there is
+# adjudicated by pooled data rather than by the stage-length argument.
+CONTRACT = False
+
+
+def _enable_contract() -> None:
+    global DATA_ROOT, REF_RUN, ART, CONTRACT
+    CONTRACT = True
+    DATA_ROOT = Path("/tmp/parity_data_contract")
+    REF_RUN = Path("/tmp/refrep_contract")
+    ART = REPO / "artifacts" / "parity_repeated_contract"
+    HP.update(stage1_epochs=50, stage2_epochs=50)
+
 
 def make_data() -> None:
-    """Reuse the round-2 parity dataset (seeded => bit-identical)."""
+    """Reuse the matching parity_run dataset (seeded => bit-identical)."""
     if (DATA_ROOT / "images" / "testing").exists():
         print(f"dataset already at {DATA_ROOT}")
         return
-    subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "parity_run.py"), "data"],
-        check=True,
-    )
+    args = [sys.executable, str(REPO / "scripts" / "parity_run.py"), "data"]
+    if CONTRACT:
+        args += ["--tag", "contract", "--train-n", "150",
+                 "--val-n", "40", "--test-n", "40"]
+    subprocess.run(args, check=True)
 
 
 REF_POOL_DRIVER = textwrap.dedent(
@@ -210,14 +227,19 @@ def report() -> None:
 
     n_ref = len(ref["baseline_metrics"]["dice_scores"])
     n_ours = len(ours["baseline_metrics"]["dice_scores"])
+    title = ("## Contract-budget multi-seed repeated evaluations"
+             if CONTRACT else "## Multi-seed repeated evaluations")
+    dataset_desc = ("same 150/40/40 contract dataset (the PARITY_RUN.md "
+                    "tagged-contract dataset)" if CONTRACT
+                    else "same 300-image dataset")
     lines = [
         "",
-        "## Multi-seed repeated evaluations (pooled across "
+        f"{title} (pooled across "
         f"{len(SEEDS)} seeds: {SEEDS})",
         "",
         "Each framework trained the two-stage pipeline from scratch once per",
         "seed (" + ", ".join(f"{k}={v}" for k, v in HP.items()) + ") on the",
-        "same 300-image dataset, then ran its own `run_repeated_evaluations`",
+        f"{dataset_desc}, then ran its own `run_repeated_evaluations`",
         "(/root/reference/src/evaluate_comparison.py:230-396) pooling the",
         f"per-image test metrics across all runs ({n_ref} pooled ref values,",
         f"{n_ours} ours, per metric) before the paired tests — the pooling",
@@ -245,18 +267,20 @@ def report() -> None:
     lines += [
         "",
         f"Verdict agreement: {agree}/4 metrics.  Raw pooled arrays and",
-        "comparisons: `artifacts/parity_repeated/{reference,ours}/`.",
+        f"comparisons: `{ART.relative_to(REPO)}/{{reference,ours}}/`.",
         "",
     ]
     from parity_run import upsert_section
 
-    upsert_section(
-        REPO / "PARITY_RUN.md", "## Multi-seed repeated evaluations", lines
-    )
+    upsert_section(REPO / "PARITY_RUN.md", title, lines)
     print("\n".join(lines))
 
 
 if __name__ == "__main__":
-    step = sys.argv[1] if len(sys.argv) > 1 else "report"
+    argv = sys.argv[1:]
+    if "--contract" in argv:
+        argv.remove("--contract")
+        _enable_contract()
+    step = argv[0] if argv else "report"
     {"data": make_data, "reference": run_reference, "ours": run_ours,
      "report": report}[step]()
