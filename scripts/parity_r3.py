@@ -304,6 +304,21 @@ def report() -> None:
         f"- Full in-dist Dice ranking: reference {ranking(ref)}"
         + "".join(f" / {label} {ranking(study)}" for label, study in cols)
         + ".",
+    ]
+
+    def spread(study):
+        key = "aggregated_results_in_dist"
+        vals = [study[key][v]["dice_scores"]["mean"] for v in names
+                if "Baseline" not in v]
+        return max(vals) - min(vals)
+
+    lines += [
+        "- The three physics variants are near-ties everywhere (in-dist "
+        f"Dice spread {spread(ref):.4f} reference"
+        + "".join(f", {spread(study):.4f} {label}" for label, study in cols)
+        + "), so rank order among them is noise; the stable findings — "
+        "every physics variant beats the baseline, all 24 Stage-I-vs-II "
+        "verdicts, and the primary endpoint — agree across all engines.",
         "",
         "Raw artifacts: `artifacts/parity_r3/`.  Regenerate with the",
         "steps in `scripts/parity_r3.py`.",
