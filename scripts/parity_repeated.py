@@ -126,6 +126,17 @@ def run_reference() -> None:
     env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
     models = REF_RUN / "models"
 
+    # Cross-session salvage: completed per-seed checkpoint pairs are
+    # mirrored into the (gitignored) artifacts tree, which lives on the
+    # persistent repo disk — /tmp does not survive host restarts, and a
+    # contract-budget reference seed costs ~4.5 h on this 1-vCPU host.
+    salvage = ART / "reference" / "models"
+    salvage.mkdir(parents=True, exist_ok=True)
+    models.mkdir(parents=True, exist_ok=True)
+    for f in salvage.glob("seed*.pth"):
+        if not (models / f.name).exists():
+            shutil.copy2(f, models / f.name)
+
     for seed in SEEDS:
         if (models / f"seed{seed}_baseline.pth").exists() and (
             models / f"seed{seed}_pde.pth"
@@ -153,6 +164,10 @@ def run_reference() -> None:
         shutil.move(
             models / "unet_pde_regularized.pth", models / f"seed{seed}_pde.pth"
         )
+        for name in (f"seed{seed}_baseline.pth", f"seed{seed}_pde.pth"):
+            shutil.copy2(models / name, salvage / name)
+        print(f"reference seed={seed} checkpoints salvaged -> {salvage}",
+              flush=True)
 
     (REF_RUN / "_pool_driver.py").write_text(REF_POOL_DRIVER)
     subprocess.run(
