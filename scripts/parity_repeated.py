@@ -65,8 +65,11 @@ def _enable_contract() -> None:
     global DATA_ROOT, REF_RUN, ART, CONTRACT
     CONTRACT = True
     DATA_ROOT = Path("/tmp/parity_data_contract")
-    REF_RUN = Path("/tmp/refrep_contract")
     ART = REPO / "artifacts" / "parity_repeated_contract"
+    # The contract-budget reference tree lives on the PERSISTENT repo
+    # disk (gitignored), not /tmp: a seed costs ~4.5 h on this 1-vCPU
+    # host and /tmp does not survive host restarts.
+    REF_RUN = ART / "refrun"
     HP.update(stage1_epochs=50, stage2_epochs=50)
 
 
@@ -107,6 +110,158 @@ REF_POOL_DRIVER = textwrap.dedent(
 ).format(seeds=SEEDS)
 
 
+# Contract-budget reference driver: a pause/resume shell around the
+# reference's stage loop.  The per-epoch computation is the reference's
+# own code (src.train.train_epoch / validate / EarlyStopping /
+# save_metrics_to_csv, driven through src.train.train's unmodified
+# orchestration; /root/reference/src/train.py:289-394); this shell only
+# re-implements the stage loop's BOOKKEEPING (best-epoch tracking, the
+# 17-key epoch row, the early-stop check order) so it can snapshot the
+# complete training state — model, optimizer, every RNG stream, the
+# EarlyStopping object, the metric history — at every epoch boundary.
+# A killed run therefore resumes mid-stage with the identical
+# computation sequence (validated bit-exactly by the `validate-driver`
+# step: uninterrupted vs killed+resumed checkpoints are byte-equal).
+REF_CONTRACT_DRIVER = textwrap.dedent(
+    '''
+    import os, random, sys
+    from pathlib import Path
+    import numpy as np
+    import torch
+    sys.path.insert(0, '.')
+    import src.train                     # noqa: F401
+    T = sys.modules['src.train']         # src/__init__ shadows .train attr
+
+    SEED = {seed}
+    SALV = Path({salvage!r})
+    STOP_AFTER = int(os.environ.get('PARITY_STOP_AFTER_EPOCH', '0'))
+    _epochs_run = [0]
+
+    EPOCH_KEYS = [
+        ('train_loss', 'train', 'loss', None),
+        ('train_dice_loss', 'train', 'dice_loss', 0.0),
+        ('train_bce_loss', 'train', 'bce_loss', 0.0),
+        ('train_pde_loss', 'train', 'pde_loss', 0.0),
+        ('train_phase_field_loss', 'train', 'phase_field_loss', 0.0),
+        ('train_dice_score', 'train', 'dice_score', 0.0),
+        ('train_iou_score', 'train', 'iou_score', 0.0),
+        ('train_boundary_f1_score', 'train', 'boundary_f1_score', 0.0),
+        ('val_loss', 'val', 'loss', None),
+        ('val_dice_score', 'val', 'dice_score', None),
+        ('val_dice_loss', 'val', 'dice_loss', 0.0),
+        ('val_bce_loss', 'val', 'bce_loss', 0.0),
+        ('val_pde_loss', 'val', 'pde_loss', 0.0),
+        ('val_phase_field_loss', 'val', 'phase_field_loss', 0.0),
+        ('val_iou_score', 'val', 'iou_score', 0.0),
+        ('val_boundary_f1_score', 'val', 'boundary_f1_score', 0.0),
+    ]
+
+    def _rng_capture():
+        return dict(torch=torch.get_rng_state(),
+                    numpy=np.random.get_state(), py=random.getstate())
+
+    def _rng_restore(b):
+        torch.set_rng_state(b['torch'])
+        np.random.set_state(b['numpy'])
+        random.setstate(b['py'])
+
+    def _save(blob, path):
+        tmp = path.with_suffix('.tmp')
+        torch.save(blob, tmp)
+        os.replace(tmp, path)
+
+    def resumable_train_stage(model, train_loader, val_loader, criterion,
+                              optimizer, device, num_epochs, stage_name,
+                              early_stopping=None, verbose=True,
+                              csv_path=None):
+        tag = 'stage' + str(len(stage_name.split()[-1]))   # I -> 1, II -> 2
+        done = SALV / ('seed%d_%s_done.pt' % (SEED, tag))
+        snap = SALV / ('seed%d_%s_snap.pt' % (SEED, tag))
+        if done.exists():
+            blob = torch.load(done, map_location=device, weights_only=False)
+            model.load_state_dict(blob['model'])
+            _rng_restore(blob['rng'])
+            if csv_path is not None:
+                T.save_metrics_to_csv(blob['all_metrics'], csv_path)
+            print('[salvage] %s: complete stage reloaded (%d epochs)'
+                  % (stage_name, len(blob['all_metrics'])), flush=True)
+            return blob['best_metrics'], blob['best_epoch'], blob['all_metrics']
+
+        start, best_val_dice, best_epoch = 0, 0.0, 0
+        best_metrics, all_metrics = {{}}, []
+        if snap.exists():
+            blob = torch.load(snap, map_location=device, weights_only=False)
+            model.load_state_dict(blob['model'])
+            optimizer.load_state_dict(blob['opt'])
+            if early_stopping is not None and blob['es'] is not None:
+                early_stopping.__dict__.update(blob['es'])
+            _rng_restore(blob['rng'])
+            start = blob['epoch']
+            best_val_dice = blob['best_val_dice']
+            best_epoch = blob['best_epoch']
+            best_metrics = blob['best_metrics']
+            all_metrics = blob['all_metrics']
+            print('[salvage] %s: resuming at epoch %d/%d'
+                  % (stage_name, start + 1, num_epochs), flush=True)
+
+        stopped = False
+        for epoch in range(start, num_epochs):
+            train_results = T.train_epoch(
+                model, train_loader, criterion, optimizer, device,
+                return_components=True, compute_metrics=True)
+            val_results = T.validate(
+                model, val_loader, criterion, device,
+                return_components=True, compute_metrics=True)
+            if val_results['dice_score'] > best_val_dice:
+                best_val_dice = val_results['dice_score']
+                best_epoch = epoch + 1
+                best_metrics = dict(train=train_results, val=val_results)
+            row = dict(epoch=epoch + 1)
+            for key, side, name, default in EPOCH_KEYS:
+                src = train_results if side == 'train' else val_results
+                row[key] = src[name] if default is None else src.get(name, default)
+            all_metrics.append(row)
+            if csv_path is not None:
+                T.save_metrics_to_csv(all_metrics, csv_path)
+            print('%s epoch %d/%d: val dice %.6f'
+                  % (stage_name, epoch + 1, num_epochs,
+                     val_results['dice_score']), flush=True)
+            if early_stopping is not None:
+                stopped = early_stopping(val_results['dice_score'], epoch + 1)
+            _save(dict(model=model.state_dict(), opt=optimizer.state_dict(),
+                       es=None if early_stopping is None
+                       else dict(early_stopping.__dict__),
+                       rng=_rng_capture(), epoch=epoch + 1,
+                       best_val_dice=best_val_dice, best_epoch=best_epoch,
+                       best_metrics=best_metrics, all_metrics=all_metrics),
+                  snap)
+            _epochs_run[0] += 1
+            if STOP_AFTER and _epochs_run[0] >= STOP_AFTER:
+                print('[salvage] PARITY_STOP_AFTER_EPOCH=%d reached, exiting'
+                      % STOP_AFTER, flush=True)
+                os._exit(3)
+            if stopped:
+                print('Early stopping triggered at epoch %d' % (epoch + 1),
+                      flush=True)
+                break
+        _save(dict(model=model.state_dict(), rng=_rng_capture(),
+                   best_metrics=best_metrics, best_epoch=best_epoch,
+                   all_metrics=all_metrics), done)
+        snap.unlink(missing_ok=True)
+        return best_metrics, best_epoch, all_metrics
+
+    T.train_stage = resumable_train_stage
+    T.train(use_two_stage=True,
+            pde_weight={pde_weight}, diffusion_coeff={diffusion_coeff},
+            reaction_threshold={reaction_threshold},
+            phase_field_weight={phase_field_weight}, epsilon={epsilon},
+            batch_size={batch_size}, learning_rate={learning_rate},
+            stage1_epochs={stage1_epochs}, stage2_epochs={stage2_epochs},
+            early_stopping_patience={early_stopping_patience}, seed=SEED)
+    '''
+)
+
+
 def run_reference() -> None:
     # Per-seed resumable: a seed whose renamed checkpoint pair already
     # exists under models/ is skipped, so an interrupted run re-trains
@@ -144,22 +299,34 @@ def run_reference() -> None:
             print(f"reference train seed={seed}: already done, skipping",
                   flush=True)
             continue
-        args = [
-            sys.executable, "main.py",
-            "--stage1-epochs", str(HP["stage1_epochs"]),
-            "--stage2-epochs", str(HP["stage2_epochs"]),
-            "--early-stopping-patience", str(HP["early_stopping_patience"]),
-            "--batch-size", str(HP["batch_size"]),
-            "--learning-rate", str(HP["learning_rate"]),
-            "--pde-weight", str(HP["pde_weight"]),
-            "--diffusion-coeff", str(HP["diffusion_coeff"]),
-            "--reaction-threshold", str(HP["reaction_threshold"]),
-            "--phase-field-weight", str(HP["phase_field_weight"]),
-            "--epsilon", str(HP["epsilon"]),
-            "--seed", str(seed),
-        ]
-        print(f"reference train seed={seed}:", " ".join(args), flush=True)
-        subprocess.run(args, cwd=REF_RUN, env=env, check=True)
+        if CONTRACT:
+            # ~4.5 h/seed on this host: run through the epoch-resumable
+            # driver so a killed/restarted session loses at most one
+            # epoch (see REF_CONTRACT_DRIVER).
+            driver = REF_RUN / f"_contract_driver_seed{seed}.py"
+            driver.write_text(REF_CONTRACT_DRIVER.format(
+                seed=seed, salvage=str(salvage), **HP))
+            print(f"reference train seed={seed}: {driver.name}", flush=True)
+            subprocess.run([sys.executable, driver.name],
+                           cwd=REF_RUN, env=env, check=True)
+        else:
+            args = [
+                sys.executable, "main.py",
+                "--stage1-epochs", str(HP["stage1_epochs"]),
+                "--stage2-epochs", str(HP["stage2_epochs"]),
+                "--early-stopping-patience",
+                str(HP["early_stopping_patience"]),
+                "--batch-size", str(HP["batch_size"]),
+                "--learning-rate", str(HP["learning_rate"]),
+                "--pde-weight", str(HP["pde_weight"]),
+                "--diffusion-coeff", str(HP["diffusion_coeff"]),
+                "--reaction-threshold", str(HP["reaction_threshold"]),
+                "--phase-field-weight", str(HP["phase_field_weight"]),
+                "--epsilon", str(HP["epsilon"]),
+                "--seed", str(seed),
+            ]
+            print(f"reference train seed={seed}:", " ".join(args), flush=True)
+            subprocess.run(args, cwd=REF_RUN, env=env, check=True)
         shutil.move(models / "unet_baseline.pth", models / f"seed{seed}_baseline.pth")
         shutil.move(
             models / "unet_pde_regularized.pth", models / f"seed{seed}_pde.pth"
@@ -180,6 +347,94 @@ def run_reference() -> None:
     for f in (REF_RUN / "output").glob("aggregated_results_*.csv"):
         shutil.copy2(f, out / f.name)
     print(f"reference artifacts -> {out}")
+
+
+def validate_driver() -> None:
+    """Prove REF_CONTRACT_DRIVER runs the reference computation bit-exactly.
+
+    Three runs on a tiny dataset (20/8/8, 3+3 epochs, seed 42):
+
+      A. the reference's own ``main.py`` (the ground truth),
+      B. the epoch-resumable driver, uninterrupted,
+      C. the driver killed after epoch 2 (``PARITY_STOP_AFTER_EPOCH``)
+         and re-launched to resume mid-stage.
+
+    Asserts both saved checkpoints (baseline + pde) are tensor-identical
+    across A/B/C and the per-stage CSVs byte-identical.
+    """
+    import torch
+
+    tiny_hp = dict(HP, stage1_epochs=3, stage2_epochs=3)
+    data = Path("/tmp/parity_data_tiny")
+    if not (data / "images" / "testing").exists():
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "parity_run.py"), "data",
+             "--tag", "tiny", "--train-n", "20", "--val-n", "8",
+             "--test-n", "8"], check=True)
+
+    env = dict(os.environ)
+    env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
+
+    def fresh_tree(name: str) -> Path:
+        run = Path(f"/tmp/drv_val_{name}")
+        if run.exists():
+            shutil.rmtree(run)
+        shutil.copytree("/root/reference", run)
+        (run / "images").symlink_to(data / "images")
+        (run / "models").mkdir(exist_ok=True)
+        return run
+
+    # A: plain main.py
+    run_a = fresh_tree("a")
+    subprocess.run(
+        [sys.executable, "main.py",
+         "--stage1-epochs", "3", "--stage2-epochs", "3",
+         "--early-stopping-patience", str(tiny_hp["early_stopping_patience"]),
+         "--batch-size", str(tiny_hp["batch_size"]),
+         "--learning-rate", str(tiny_hp["learning_rate"]),
+         "--pde-weight", str(tiny_hp["pde_weight"]),
+         "--diffusion-coeff", str(tiny_hp["diffusion_coeff"]),
+         "--reaction-threshold", str(tiny_hp["reaction_threshold"]),
+         "--phase-field-weight", str(tiny_hp["phase_field_weight"]),
+         "--epsilon", str(tiny_hp["epsilon"]), "--seed", "42"],
+        cwd=run_a, env=env, check=True)
+
+    def run_driver(name: str, stop_after: int | None) -> Path:
+        run = fresh_tree(name)
+        salv = run / "salvage"
+        salv.mkdir()
+        driver = run / "_driver.py"
+        driver.write_text(REF_CONTRACT_DRIVER.format(
+            seed=42, salvage=str(salv), **tiny_hp))
+        if stop_after:
+            e2 = dict(env, PARITY_STOP_AFTER_EPOCH=str(stop_after))
+            rc = subprocess.run([sys.executable, "_driver.py"],
+                                cwd=run, env=e2).returncode
+            assert rc == 3, f"expected stop-exit 3, got {rc}"
+        subprocess.run([sys.executable, "_driver.py"],
+                       cwd=run, env=env, check=True)
+        return run
+
+    run_b = run_driver("b", None)
+    run_c = run_driver("c", 2)
+
+    for ck in ("unet_baseline.pth", "unet_pde_regularized.pth"):
+        ref_sd = torch.load(run_a / "models" / ck, map_location="cpu")
+        for name, run in (("uninterrupted", run_b), ("resumed", run_c)):
+            sd = torch.load(run / "models" / ck, map_location="cpu")
+            assert set(sd) == set(ref_sd), (ck, name, "key mismatch")
+            for k in ref_sd:
+                assert torch.equal(ref_sd[k], sd[k]), (ck, name, k)
+            print(f"{ck}: {name} driver == main.py (tensor-identical)")
+    for stage in ("stage1", "stage2"):
+        # [-1]: the resumed run leaves a stale partial CSV from before the
+        # kill; the post-resume rewrite carries the newest timestamp.
+        csv_a = sorted(run_a.glob(f"output/metrics_{stage}_*.csv"))[-1]
+        for name, run in (("uninterrupted", run_b), ("resumed", run_c)):
+            csv_x = sorted(run.glob(f"output/metrics_{stage}_*.csv"))[-1]
+            assert csv_a.read_bytes() == csv_x.read_bytes(), (stage, name)
+            print(f"metrics_{stage}.csv: {name} driver byte-identical")
+    print("validate-driver: PASS (A==B==C)")
 
 
 def run_ours() -> None:
@@ -298,4 +553,4 @@ if __name__ == "__main__":
         _enable_contract()
     step = argv[0] if argv else "report"
     {"data": make_data, "reference": run_reference, "ours": run_ours,
-     "report": report}[step]()
+     "validate-driver": validate_driver, "report": report}[step]()
