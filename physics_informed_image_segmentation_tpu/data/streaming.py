@@ -30,7 +30,12 @@ import numpy as np
 
 from .pipeline import num_batches
 
-__all__ = ["HostDataset", "batch_iterator", "prefetch_to_device"]
+__all__ = [
+    "HostDataset",
+    "batch_iterator",
+    "chunk_batches",
+    "prefetch_to_device",
+]
 
 
 @dataclass
@@ -83,6 +88,34 @@ def batch_iterator(
         sel = order[b * batch_size : (b + 1) * batch_size]
         images, masks = data.take(sel)
         yield images, masks, valid[b * batch_size : (b + 1) * batch_size]
+
+
+def chunk_batches(
+    iterator: Iterator[tuple[np.ndarray, ...]],
+    k: int,
+) -> Iterator[tuple[np.ndarray, ...]]:
+    """Stack ``k`` consecutive ``(images, masks, valid)`` batches into
+    one ``[k, B, ...]`` chunk for :func:`..train.engine.make_train_chunk_fn`.
+
+    The final ragged chunk is padded by repeating its first batch with
+    ``valid`` zeroed — every chunk has the same static shape (one XLA
+    program, no recompiles) and the padding contributes nothing, the
+    same masking contract as :func:`batch_iterator`'s final batch.
+    """
+    buf: list[tuple[np.ndarray, ...]] = []
+
+    def emit():
+        return tuple(np.stack(parts) for parts in zip(*buf))
+
+    for item in iterator:
+        buf.append(item)
+        if len(buf) == k:
+            yield emit()
+            buf = []
+    if buf:
+        x0, y0, v0 = buf[0]
+        buf.extend((x0, y0, np.zeros_like(v0)) for _ in range(k - len(buf)))
+        yield emit()
 
 
 def prefetch_to_device(

@@ -14,6 +14,7 @@ from .engine import (  # noqa: F401
     make_eval_epoch_fn,
     make_train_epoch_fn,
     make_train_epochs_fn,
+    make_train_chunk_fn,
     make_train_step_fn,
     train_stage,
     tree_params,
@@ -30,6 +31,7 @@ __all__ = [
     "tree_params",
     "make_train_epoch_fn",
     "make_train_epochs_fn",
+    "make_train_chunk_fn",
     "make_train_step_fn",
     "make_eval_epoch_fn",
     "EarlyStopping",

@@ -424,6 +424,22 @@ def make_train_step_fn(
     scan (:func:`make_train_epoch_fn`) is faster when data fits in HBM;
     this is the building block when it doesn't.
     """
+    return jax.jit(
+        _make_step_core(
+            model, loss_cfg, compute_metrics=compute_metrics,
+            pmean_axis=pmean_axis,
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def _make_step_core(
+    model,
+    loss_cfg: LossConfig,
+    *,
+    compute_metrics: bool,
+    pmean_axis: Optional[str],
+):
     loss_fn = make_loss_and_components(loss_cfg)
 
     def step(state: TrainState, x, y, valid):
@@ -449,7 +465,50 @@ def make_train_step_fn(
             out.update(dice_sum=d, iou_sum=i, bf1_sum=b, n=jnp.sum(valid))
         return new_state, out
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_chunk_fn(
+    model,
+    loss_cfg: LossConfig,
+    *,
+    compute_metrics: bool = True,
+    pmean_axis: Optional[str] = None,
+):
+    """K streaming batches per dispatch, for tunnelled / high-RTT hosts.
+
+    ``chunk(state, xs, ys, valids) -> (state, metrics)`` where the data
+    arrays carry a leading chunk axis ``[K, B, ...]`` (stack K
+    consecutive :func:`..data.streaming.batch_iterator` batches with
+    :func:`..data.streaming.chunk_batches`).  Runs the exact
+    :func:`make_train_step_fn` body as one ``lax.scan``, so the host
+    round trip per optimizer step shrinks K× while the data still
+    streams from host RAM; metrics come back per-step with leading
+    axis K.  Numerically equivalent to stepping the batches
+    individually (same step body; only the XLA program boundary
+    differs), and chunk-padding steps are bit-exact no-ops
+    (``tests/test_streaming.py``).
+    """
+    core = _make_step_core(
+        model, loss_cfg, compute_metrics=compute_metrics,
+        pmean_axis=pmean_axis,
+    )
+
+    def chunk(state: TrainState, xs, ys, valids):
+        def body(st, b):
+            x, y, v = b
+            new_st, out = core(st, x, y, v)
+            # A chunk-padding step (valid all zero) must be a true no-op:
+            # even zero grads would advance step count, optimizer moments
+            # and weight decay, breaking per-batch equivalence.
+            new_st = jax.lax.cond(
+                jnp.sum(v) > 0, lambda: new_st, lambda: st
+            )
+            return new_st, out
+
+        return jax.lax.scan(body, state, (xs, ys, valids))
+
+    return jax.jit(chunk, donate_argnums=(0,))
 
 
 def make_eval_epoch_fn(
