@@ -11,25 +11,34 @@ conv at 128²) as hand-written Pallas kernels, forward and backward, so
 `scripts/conv_probe.py` can time it head-to-head against
 `lax.conv_general_dilated` and settle the question by experiment.
 
-Kernel design (per grid step = one image, flattened [M=H·W, C]):
+Kernel design (per grid step = one row-block of one image, flattened
+[M_blk = rows·W, C]; whole images at 128² blow the 16 MB scoped-VMEM
+budget, so the pixel axis is tiled):
 
 * A 3×3 SAME conv is the sum of 9 shifted C→C matmuls:
-  ``out = Σ_t shift(x, t) @ W[t]``.  Shifts are circular
-  ``pltpu.roll`` on the flattened pixel axis + iota masks that zero
-  the rows/columns that crossed the image border (Mosaic rejects
-  offset-layout concats; rolls lower cleanly — same trick as
-  :mod:`.pallas_physics`).
+  ``out = Σ_t shift(x, t) @ W[t]``.
+* Row (dy) shifts cross block boundaries, so they are precomputed
+  OUTSIDE the kernel as three zero-filled row-shifted copies of the
+  input (cheap XLA pads; the conv stays MXU-bound at ~150 FLOP/byte).
+  Each grid step reads the same block index from all three.
+* Column (dx) shifts are circular ``pltpu.roll`` on the flattened
+  block + an iota column mask.  The roll's block-boundary wraps land
+  exactly on destination pixels whose source column crossed the image
+  border — positions the mask zeroes anyway — so tiling is exact.
+  (Mosaic rejects offset-layout concats; rolls lower cleanly — same
+  trick as :mod:`.pallas_physics`.)
 * ``paired=True`` packs tap PAIRS into full-width MXU ops: the input
   is channel-duplicated to [M, 2C] outside the kernel, each pair
-  builds ``A = where(lane < C, shift(x2, t), shift(x2, u))`` and one
+  builds ``A = where(lane < C, shift_t, shift_u)`` and one
   ``A @ [W[t]; W[u]]`` contraction with K=2C replaces two K=C matmuls
   — identical FLOPs, twice the MXU contraction depth (for C=64:
   K=128 = the full systolic array edge).
 * Backward reuses the SAME forward kernel: the input gradient is a
   3×3 SAME conv of the cotangent with the 180°-rotated,
   in/out-transposed weights.  The weight gradient is 9 per-tap
-  ``xs_tᵀ @ dout`` contractions accumulated across the batch grid
-  (the canonical Pallas revisiting-output accumulate pattern).
+  ``xs_tᵀ @ dout`` contractions accumulated across the
+  (batch × block) grid (the canonical Pallas revisiting-output
+  accumulate pattern).
 
 Numerics: inputs stay in their storage dtype (bf16 in the training
 step) for the MXU, accumulation is f32 via ``preferred_element_type``,
@@ -60,83 +69,110 @@ _OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 _PAIRS = ((0, 8), (1, 7), (2, 6), (3, 5))
 _CENTER = 4
 
+# Target pixels per VMEM block (bf16 [4096, 64] = 512 KB per operand).
+_BLOCK_PIXELS = 4096
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _shifted(x, dy, dx, h, w, ri, ci):
-    """``out[p] = x[p + dy·W + dx]`` on the flattened pixel axis, zero
-    where the source pixel falls outside the image."""
-    m = h * w
-    s = dy * w + dx
-    out = pltpu.roll(x, (-s) % m, 0) if s else x
-    if dy:
-        out = jnp.where(ri < h - dy if dy > 0 else ri >= -dy, out, 0)
-    if dx:
-        out = jnp.where(ci < w - dx if dx > 0 else ci >= -dx, out, 0)
-    return out
-
-
-def _iotas(h, w, c):
-    """Per-pixel row/col indices broadcast over [M, C] (W power of two)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (h * w, c), 0)
-    return i >> (w.bit_length() - 1), i & (w - 1)
+def _block_rows(h: int, w: int) -> int:
+    """Largest divisor of ``h`` whose block stays ≤ _BLOCK_PIXELS."""
+    best = 1
+    for r in range(1, h + 1):
+        if h % r == 0 and r * w <= max(_BLOCK_PIXELS, w):
+            best = r
+    return best
 
 
 def _f32(x):
-    """Mosaic's dynamic_rotate only handles 32-bit data; shifts run in
-    f32 and the result is cast back to the storage dtype before the MXU
+    """Mosaic's rotate only handles 32-bit data; shifts run in f32 and
+    the result is cast back to the storage dtype before the MXU
     contraction (exact for bf16 values — movement only)."""
     return x.astype(jnp.float32)
 
 
-def _fwd_kernel(h, w, x_ref, w_ref, o_ref):
-    x = x_ref[0]
-    x32 = _f32(x)
-    ri, ci = _iotas(h, w, x.shape[-1])
+def _col_iota(shape, w):
+    """Per-pixel column index broadcast over [M, C] (W power of two;
+    blocks start at row boundaries so flat-index alignment holds)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return i & (w - 1)
+
+
+def _dx_shift(x, dx, w, ci):
+    """``out[p] = x[p + dx]`` within the block, zero where the source
+    column crossed the image border.  Block-boundary wraps of the
+    circular roll land only on masked positions (see module doc)."""
+    if not dx:
+        return x
+    m = x.shape[0]
+    out = pltpu.roll(_f32(x), (-dx) % m, 0)
+    out = jnp.where(ci < w - dx if dx > 0 else ci >= -dx, out, 0)
+    return out.astype(x.dtype)
+
+
+def _dy_variants(xf, w):
+    """Three row-shifted, zero-filled copies: variant d satisfies
+    ``v[d][:, p] = x[:, p + d·W]`` (d = source-row offset dy)."""
+    b, m, c = xf.shape
+    zeros = jnp.zeros((b, w, c), xf.dtype)
+    return {
+        -1: jnp.concatenate([zeros, xf[:, :-w]], axis=1),
+        0: xf,
+        1: jnp.concatenate([xf[:, w:], zeros], axis=1),
+    }
+
+
+def _fwd_kernel(w, x_m1_ref, x_0_ref, x_p1_ref, w_ref, o_ref):
+    refs = {-1: x_m1_ref, 0: x_0_ref, 1: x_p1_ref}
+    x0 = x_0_ref[0]
+    ci = _col_iota(x0.shape, w)
     acc = None
     for t, (dy, dx) in enumerate(_OFFSETS):
-        xs = _shifted(x32, dy, dx, h, w, ri, ci).astype(x.dtype)
+        xs = _dx_shift(refs[dy][0], dx, w, ci)
         term = jnp.dot(xs, w_ref[t], preferred_element_type=jnp.float32)
         acc = term if acc is None else acc + term
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _fwd_kernel_paired(h, w, x2_ref, wp_ref, wc_ref, o_ref):
-    """Paired-tap forward: x2 is [M, 2C] (channels duplicated), wp is
-    [4, 2C, C] (stacked tap pairs), wc is [C, C] (the centre tap)."""
-    x2 = x2_ref[0]
-    x232 = _f32(x2)
+def _fwd_kernel_paired(w, x2_m1_ref, x2_0_ref, x2_p1_ref, wp_ref, wc_ref,
+                       o_ref):
+    """Paired-tap forward: x2 blocks are [M, 2C] (channels duplicated),
+    wp is [4, 2C, C] (stacked tap pairs), wc is [C, C] (centre tap)."""
+    refs = {-1: x2_m1_ref, 0: x2_0_ref, 1: x2_p1_ref}
+    x2 = x2_0_ref[0]
     c2 = x2.shape[-1]
     c = c2 // 2
-    ri, ci = _iotas(h, w, c2)
+    ci = _col_iota(x2.shape, w)
     lane = jax.lax.broadcasted_iota(jnp.int32, x2.shape, 1)
     acc = jnp.dot(x2[:, :c], wc_ref[...], preferred_element_type=jnp.float32)
     for k, (t, u) in enumerate(_PAIRS):
+        dy_t, dx_t = _OFFSETS[t]
+        dy_u, dx_u = _OFFSETS[u]
         a = jnp.where(
             lane < c,
-            _shifted(x232, *_OFFSETS[t], h, w, ri, ci),
-            _shifted(x232, *_OFFSETS[u], h, w, ri, ci),
-        ).astype(x2.dtype)
+            _dx_shift(refs[dy_t][0], dx_t, w, ci),
+            _dx_shift(refs[dy_u][0], dx_u, w, ci),
+        )
         acc = acc + jnp.dot(a, wp_ref[k], preferred_element_type=jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _dw_kernel(h, w, x_ref, g_ref, dw_ref):
-    """Per-tap ``xs_tᵀ @ dout`` accumulated across the batch grid."""
-    b = pl.program_id(0)
-    x = x_ref[0]
-    x32 = _f32(x)
+def _dw_kernel(w, x_m1_ref, x_0_ref, x_p1_ref, g_ref, dw_ref):
+    """Per-tap ``xs_tᵀ @ dout`` accumulated across the batch×block grid."""
+    refs = {-1: x_m1_ref, 0: x_0_ref, 1: x_p1_ref}
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    x0 = x_0_ref[0]
     g = g_ref[0]
-    ri, ci = _iotas(h, w, x.shape[-1])
+    ci = _col_iota(x0.shape, w)
 
-    @pl.when(b == 0)
+    @pl.when(first)
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     for t, (dy, dx) in enumerate(_OFFSETS):
-        xs = _shifted(x32, dy, dx, h, w, ri, ci).astype(x.dtype)
+        xs = _dx_shift(refs[dy][0], dx, w, ci)
         dw_ref[t] += jax.lax.dot_general(
             xs, g, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -148,30 +184,36 @@ def _conv_fwd_raw(x, w9, *, paired: bool):
     b, h, w, cin = x.shape
     cout = w9.shape[-1]
     m = h * w
+    mb = _block_rows(h, w) * w
+    nb = m // mb
     xf = x.reshape(b, m, cin)
     kernel = functools.partial(
-        _fwd_kernel_paired if paired else _fwd_kernel, h, w)
+        _fwd_kernel_paired if paired else _fwd_kernel, w)
     if paired:
         x2 = jnp.concatenate([xf, xf], axis=-1)
         wp = jnp.stack(
             [jnp.concatenate([w9[t], w9[u]], axis=0) for t, u in _PAIRS])
-        operands = (x2, wp, w9[_CENTER])
+        variants = _dy_variants(x2, w)
+        xspec = pl.BlockSpec((1, mb, 2 * cin), lambda i, j: (i, j, 0))
+        operands = (variants[-1], variants[0], variants[1], wp, w9[_CENTER])
         in_specs = [
-            pl.BlockSpec((1, m, 2 * cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((4, 2 * cin, cout), lambda i: (0, 0, 0)),
-            pl.BlockSpec((cin, cout), lambda i: (0, 0)),
+            xspec, xspec, xspec,
+            pl.BlockSpec((4, 2 * cin, cout), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((cin, cout), lambda i, j: (0, 0)),
         ]
     else:
-        operands = (xf, w9)
+        variants = _dy_variants(xf, w)
+        xspec = pl.BlockSpec((1, mb, cin), lambda i, j: (i, j, 0))
+        operands = (variants[-1], variants[0], variants[1], w9)
         in_specs = [
-            pl.BlockSpec((1, m, cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0)),
+            xspec, xspec, xspec,
+            pl.BlockSpec((9, cin, cout), lambda i, j: (0, 0, 0)),
         ]
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, nb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, m, cout), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, mb, cout), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, m, cout), x.dtype),
         interpret=_interpret(),
     )(*operands)
@@ -183,17 +225,21 @@ def _conv_dw_raw(x, g):
     b, h, w, cin = x.shape
     cout = g.shape[-1]
     m = h * w
+    mb = _block_rows(h, w) * w
+    nb = m // mb
+    variants = _dy_variants(x.reshape(b, m, cin), w)
+    xspec = pl.BlockSpec((1, mb, cin), lambda i, j: (i, j, 0))
     return pl.pallas_call(
-        functools.partial(_dw_kernel, h, w),
-        grid=(b,),
+        functools.partial(_dw_kernel, w),
+        grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, m, cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, m, cout), lambda i: (i, 0, 0)),
+            xspec, xspec, xspec,
+            pl.BlockSpec((1, mb, cout), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0)),
+        out_specs=pl.BlockSpec((9, cin, cout), lambda i, j: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         interpret=_interpret(),
-    )(x.reshape(b, m, cin), g.reshape(b, m, cout))
+    )(variants[-1], variants[0], variants[1], g.reshape(b, m, cout))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -74,3 +74,31 @@ def test_border_zero_padding():
     assert np.allclose(out[0, 4, 8], 9 * 4)     # interior: all 9 taps
     assert np.allclose(out[0, 0, 8], 6 * 4)     # top edge: 6 taps
     assert np.allclose(out[0, 0, 0], 4 * 4)     # corner: 4 taps
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_multiblock_tiling_matches_xla(paired, monkeypatch):
+    """Force the row-block grid (nb>1): roll wraps at block boundaries
+    must land only on masked border columns, fwd and VJP."""
+    import physics_informed_image_segmentation_tpu.ops.pallas_conv as pc
+
+    monkeypatch.setattr(pc, "_BLOCK_PIXELS", 64)  # w=16 -> 4-row blocks
+    x, wt = _data(b=2, h=16, w=16, cin=8, cout=8, seed=3)
+    assert pc._block_rows(16, 16) == 4
+
+    np.testing.assert_allclose(
+        np.asarray(pc.conv3x3_same(x, wt, paired)),
+        np.asarray(_xla_conv(x, wt)), rtol=1e-5, atol=1e-5)
+
+    def f_ours(x, w):
+        return jnp.sum(pc.conv3x3_same(x, w, paired) ** 2)
+
+    def f_ref(x, w):
+        return jnp.sum(_xla_conv(x, w) ** 2)
+
+    (_, (dxo, dwo)) = jax.value_and_grad(f_ours, argnums=(0, 1))(x, wt)
+    (_, (dxr, dwr)) = jax.value_and_grad(f_ref, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(dxo), np.asarray(dxr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwo), np.asarray(dwr),
+                               rtol=1e-4, atol=1e-4)
