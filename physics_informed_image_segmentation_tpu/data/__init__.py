@@ -8,7 +8,12 @@ from .pipeline import (  # noqa: F401
     num_batches,
     subset_fraction_indices,
 )
-from .streaming import HostDataset, batch_iterator, prefetch_to_device  # noqa: F401
+from .streaming import (  # noqa: F401
+    HostDataset,
+    batch_iterator,
+    chunk_batches,
+    prefetch_to_device,
+)
 from .synthetic import make_blobs, write_synthetic_coco  # noqa: F401
 
 __all__ = [
@@ -24,6 +29,7 @@ __all__ = [
     "make_blobs",
     "HostDataset",
     "batch_iterator",
+    "chunk_batches",
     "prefetch_to_device",
     "write_synthetic_coco",
 ]

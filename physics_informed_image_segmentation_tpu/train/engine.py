@@ -48,6 +48,7 @@ __all__ = [
     "tree_params",
     "make_train_epoch_fn",
     "make_train_epochs_fn",
+    "make_train_chunk_fn",
     "make_train_step_fn",
     "make_eval_epoch_fn",
     "EarlyStopping",
