@@ -157,13 +157,26 @@ def main():
                         key=lambda p: p.stat().st_mtime,
                     )
                     if not candidates:
-                        parser.error(
-                            f"--resume: no {ablation_name}_* study folder under {root}"
-                        )
-                    resume_from = candidates[-1]
+                        if args.ablation == "all":
+                            # an `all` run killed mid-sequence has no
+                            # folder yet for the studies it never
+                            # reached — start those fresh
+                            print(
+                                f"[resume] no {ablation_name}_* folder "
+                                f"under {root} — starting fresh"
+                            )
+                            resume_from = None
+                        else:
+                            parser.error(
+                                f"--resume: no {ablation_name}_* study "
+                                f"folder under {root}"
+                            )
+                    else:
+                        resume_from = candidates[-1]
                 else:
                     resume_from = Path(args.resume).resolve()
-                print(f"Resuming study from: {resume_from}")
+                if resume_from is not None:
+                    print(f"Resuming study from: {resume_from}")
             results = run_ablation_study(
                 ablation_name=ablation_name,
                 variants=variants,

@@ -1,0 +1,247 @@
+"""`--ablation all` burn-in with a mid-study crash (VERDICT r3 item 5).
+
+Drives the FULL 6-study / 29-training `--ablation all` through the CLI
+(`run_ablation.py`) on the real TPU at a reduced-but-real budget
+(flagship base_channels=64 @128², bs=8, 3+3 epochs, 48/16/16+16
+images), twice:
+
+  run-a   uninterrupted (the ground truth)
+  run-b   SIGKILLed the moment study #3 (R3) has produced its first
+          per-variant results JSON — a genuine mid-`all`, mid-study
+          crash — then re-launched with `--resume latest`
+
+`report` verifies run-b's study aggregates equal run-a's (path and
+timestamp fields stripped; everything numeric must match bit-for-bit —
+same seeds, same deterministic TPU programs) and tabulates wall-clock,
+including the `--batched` engine on the S1–S3 sweeps (`batched`).
+
+    python scripts/ablation_burnin.py data
+    python scripts/ablation_burnin.py run-a
+    python scripts/ablation_burnin.py run-b
+    python scripts/ablation_burnin.py batched
+    python scripts/ablation_burnin.py report
+
+Artifacts land in artifacts/ablation_burnin/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+DATA_ROOT = Path("/tmp/burnin_data")
+WORK = Path("/tmp/burnin_runs")
+ART = REPO / "artifacts" / "ablation_burnin"
+
+HP = [
+    "--batch-size", "8", "--learning-rate", "1e-4",
+    "--stage1-epochs", "3", "--stage2-epochs", "3",
+    "--early-stopping-patience", "5",
+]
+KILL_ON_STUDY = "R3"  # SIGKILL once this study has >=1 variant JSON
+
+# same distribution-shift recipe as scripts/parity_ablation.py
+IN_DIST = dict(r_range=(0.04, 0.16), cells_range=(1, 6),
+               fg_range=(130.0, 190.0), blur_sigma=1.0)
+OUT_DIST = dict(r_range=(0.10, 0.22), cells_range=(4, 9),
+                fg_range=(110.0, 160.0), blur_sigma=1.5)
+SPLITS = {
+    "training": (48, 1, IN_DIST),
+    "validation": (16, 2, IN_DIST),
+    "in_dist_testing": (16, 3, IN_DIST),
+    "out_dist_testing": (16, 4, OUT_DIST),
+}
+
+
+def make_data() -> None:
+    from physics_informed_image_segmentation_tpu.data import write_synthetic_coco
+
+    if (DATA_ROOT / "images" / "out_dist_testing").exists():
+        print(f"dataset already at {DATA_ROOT}")
+        return
+    shutil.rmtree(DATA_ROOT, ignore_errors=True)
+    img = DATA_ROOT / "images"
+    ann = img / "annotation"
+    ann.mkdir(parents=True)
+    for split, (n, seed, kw) in SPLITS.items():
+        image_dir, ann_path = write_synthetic_coco(
+            DATA_ROOT / f"_stage_{split}", n=n, height=128, width=128,
+            seed=seed, **kw,
+        )
+        (img / split).mkdir(parents=True)
+        for f in image_dir.iterdir():
+            shutil.copy2(f, img / split / f.name)
+        shutil.copy2(ann_path, ann / f"{split}_annotation.json")
+        shutil.rmtree(DATA_ROOT / f"_stage_{split}")
+    print(f"dataset at {DATA_ROOT}: "
+          + ", ".join(f"{k}={v[0]}" for k, v in SPLITS.items()))
+
+
+def _fresh_run_dir(name: str) -> Path:
+    d = WORK / name
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True)
+    (d / "images").symlink_to(DATA_ROOT / "images")
+    return d
+
+
+def _launch(cwd: Path, *extra: str) -> subprocess.Popen:
+    env = dict(os.environ, PYTHONUNBUFFERED="1",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_bench_cache",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
+    log = open(cwd / "run.log", "a")
+    return subprocess.Popen(
+        [sys.executable, str(REPO / "run_ablation.py"),
+         "--ablation", "all", *HP, *extra],
+        cwd=cwd, env=env, stdout=log, stderr=subprocess.STDOUT,
+    )
+
+
+def _save_wall(name: str, seconds: float) -> None:
+    ART.mkdir(parents=True, exist_ok=True)
+    path = ART / "wallclock.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data[name] = round(seconds, 1)
+    path.write_text(json.dumps(data, indent=1))
+    print(f"{name}: {seconds:.1f}s wall")
+
+
+def run_a() -> None:
+    cwd = _fresh_run_dir("run_a")
+    t0 = time.perf_counter()
+    p = _launch(cwd)
+    rc = p.wait()
+    assert rc == 0, f"run-a failed rc={rc}; see {cwd}/run.log"
+    _save_wall("run_a_serial_all", time.perf_counter() - t0)
+
+
+def run_b() -> None:
+    cwd = _fresh_run_dir("run_b")
+    abl = cwd / "output" / "ablation"
+    t0 = time.perf_counter()
+    p = _launch(cwd)
+    # Kill once the KILL_ON_STUDY study has written >=1 variant result —
+    # mid-`all` (studies before it are done, after it never started) and
+    # mid-study (variants of it remain).
+    while p.poll() is None:
+        time.sleep(5)
+        hits = [
+            f for d in abl.glob(f"{KILL_ON_STUDY}_*")
+            for f in d.glob("*_results.json")
+        ]
+        if hits:
+            os.kill(p.pid, signal.SIGKILL)
+            p.wait()
+            print(f"killed run-b mid-{KILL_ON_STUDY} "
+                  f"({len(hits)} variant(s) done)")
+            break
+    else:
+        raise AssertionError(
+            f"run-b finished (rc={p.returncode}) before {KILL_ON_STUDY} "
+            "produced a variant — kill trigger never hit")
+
+    p = _launch(cwd, "--resume", "latest")
+    rc = p.wait()
+    assert rc == 0, f"run-b resume failed rc={rc}; see {cwd}/run.log"
+    _save_wall("run_b_crash_resume_all", time.perf_counter() - t0)
+
+
+def run_batched() -> None:
+    """S1–S3 through the vmapped sweep engine, for the wall-clock table."""
+    cwd = _fresh_run_dir("run_batched")
+    env = dict(os.environ, PYTHONUNBUFFERED="1",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_bench_cache",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
+    for study in ("S1", "S2", "S3"):
+        t0 = time.perf_counter()
+        log = open(cwd / "run.log", "a")
+        rc = subprocess.run(
+            [sys.executable, str(REPO / "run_ablation.py"),
+             "--ablation", study, *HP, "--batched"],
+            cwd=cwd, env=env, stdout=log, stderr=subprocess.STDOUT,
+        ).returncode
+        assert rc == 0, f"batched {study} failed rc={rc}; see {cwd}/run.log"
+        _save_wall(f"batched_{study}", time.perf_counter() - t0)
+
+
+_STRIP = ("model_path", "pde_model_path", "baseline_model_path",
+          "timestamp")
+
+
+def _scrub(obj):
+    if isinstance(obj, dict):
+        return {k: _scrub(v) for k, v in obj.items() if k not in _STRIP}
+    if isinstance(obj, list):
+        return [_scrub(v) for v in obj]
+    return obj
+
+
+def _aggregates(run_dir: Path) -> dict:
+    out = {}
+    for study_dir in sorted((run_dir / "output" / "ablation").iterdir()):
+        study = study_dir.name.split("_")[0]
+        js = [f for f in study_dir.glob(f"ablation_{study}_*.json")
+              if "_summary" not in f.name]
+        assert len(js) == 1, (study_dir, js)
+        out[study] = _scrub(json.loads(js[0].read_text()))
+    return out
+
+
+def report() -> None:
+    a = _aggregates(WORK / "run_a")
+    b = _aggregates(WORK / "run_b")
+    assert sorted(a) == sorted(b) == ["R1", "R2", "R3", "S1", "S2", "S3"]
+    mismatches = [s for s in a if a[s] != b[s]]
+    n_var = {s: len(a[s]["results"]) for s in a}
+    total = sum(n_var.values())
+    wall = json.loads((ART / "wallclock.json").read_text())
+
+    ART.mkdir(parents=True, exist_ok=True)
+    for s in a:
+        (ART / f"run_a_{s}.json").write_text(json.dumps(a[s], indent=1))
+        (ART / f"run_b_{s}.json").write_text(json.dumps(b[s], indent=1))
+
+    lines = [
+        "# `--ablation all` burn-in with mid-study crash",
+        "",
+        f"Full 6-study, {total}-variant `--ablation all` via the CLI on "
+        "the real TPU (base_channels=64 @128², bs=8, 3+3 epochs, "
+        "patience 5, 48/16/16+16 images).",
+        "",
+        "- run A: uninterrupted.",
+        f"- run B: SIGKILLed once {KILL_ON_STUDY} wrote its first "
+        "variant JSON (R1, R2 complete; R3 partial; S1–S3 never "
+        "started), then `--ablation all --resume latest`.",
+        "",
+        f"**Aggregate equality**: {6 - len(mismatches)}/6 study "
+        "aggregate JSONs identical after stripping path/timestamp "
+        "fields" + (f" — MISMATCH in {mismatches}" if mismatches
+                    else " (every metric value bit-for-bit equal)."),
+        "",
+        "| run | wall-clock |",
+        "|---|---|",
+    ] + [f"| {k} | {v:.1f} s |" for k, v in sorted(wall.items())] + [
+        "",
+        f"Variants per study: {n_var}.",
+        "Raw scrubbed aggregates: `artifacts/ablation_burnin/`.",
+    ]
+    (ART / "REPORT.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    assert not mismatches, f"aggregate mismatch: {mismatches}"
+
+
+if __name__ == "__main__":
+    {"data": make_data, "run-a": run_a, "run-b": run_b,
+     "batched": run_batched, "report": report}[sys.argv[1]]()
