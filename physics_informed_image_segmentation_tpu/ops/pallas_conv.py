@@ -252,6 +252,12 @@ def conv3x3_same(x, w, paired: bool = False):
       paired: use the K=2C paired-tap kernel (full-width MXU
         contractions for C=64).
     """
+    # _col_iota masks borders via `i & (W-1)`, which is only a valid
+    # modulo for power-of-two W — fail loudly instead of silently
+    # computing wrong borders (ADVICE r4).
+    width = x.shape[2]
+    if width < 1 or width & (width - 1):
+        raise ValueError(f"conv3x3_same requires power-of-two W, got {width}")
     w9 = w.reshape(9, w.shape[2], w.shape[3])
     return _conv_fwd_raw(x, w9.astype(x.dtype), paired=paired)
 

@@ -39,7 +39,9 @@ DATA_ROOT = Path("/tmp/parity_data")
 REF_RUN = Path("/tmp/refrep")
 ART = REPO / "artifacts" / "parity_repeated"
 
-SEEDS = [42, 7, 123]
+# PARITY_SEEDS overrides the pooled-seed list (e.g. "42,7" to produce a
+# matched-subset pooling while a straggler reference seed still trains).
+SEEDS = [int(s) for s in os.environ.get("PARITY_SEEDS", "42,7,123").split(",")]
 HP = dict(
     stage1_epochs=8,
     stage2_epochs=8,
@@ -189,6 +191,7 @@ REF_CONTRACT_DRIVER = textwrap.dedent(
 
         start, best_val_dice, best_epoch = 0, 0.0, 0
         best_metrics, all_metrics = {{}}, []
+        stopped = False
         if snap.exists():
             blob = torch.load(snap, map_location=device, weights_only=False)
             model.load_state_dict(blob['model'])
@@ -201,11 +204,21 @@ REF_CONTRACT_DRIVER = textwrap.dedent(
             best_epoch = blob['best_epoch']
             best_metrics = blob['best_metrics']
             all_metrics = blob['all_metrics']
-            print('[salvage] %s: resuming at epoch %d/%d'
-                  % (stage_name, start + 1, num_epochs), flush=True)
+            # ADVICE r4: the snapshot records the early-stop decision so a
+            # kill landing between the epoch snapshot and the done-file
+            # write cannot cause one extra post-stop training epoch on
+            # resume (.get: pre-fix snapshots lack the key).
+            stopped = blob.get('stopped', False)
+            print('[salvage] %s: resuming at epoch %d/%d%s'
+                  % (stage_name, start + 1, num_epochs,
+                     ' (early-stopped; finalising)' if stopped else ''),
+                  flush=True)
 
-        stopped = False
+        if stopped and csv_path is not None:
+            T.save_metrics_to_csv(all_metrics, csv_path)
         for epoch in range(start, num_epochs):
+            if stopped:
+                break
             train_results = T.train_epoch(
                 model, train_loader, criterion, optimizer, device,
                 return_components=True, compute_metrics=True)
@@ -231,7 +244,7 @@ REF_CONTRACT_DRIVER = textwrap.dedent(
             _save(dict(model=model.state_dict(), opt=optimizer.state_dict(),
                        es=None if early_stopping is None
                        else dict(early_stopping.__dict__),
-                       rng=_rng_capture(), epoch=epoch + 1,
+                       rng=_rng_capture(), epoch=epoch + 1, stopped=stopped,
                        best_val_dice=best_val_dice, best_epoch=best_epoch,
                        best_metrics=best_metrics, all_metrics=all_metrics),
                   snap)

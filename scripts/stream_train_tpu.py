@@ -96,6 +96,14 @@ def main(only: str | None = None) -> None:
 
     want = lambda n: only in (None, n)
 
+    def counting(it, acc):
+        """Accumulate the true valid-sample count host-side (ADVICE r4:
+        padded batches/chunks must not inflate img/s) without touching
+        device buffers inside the timed window."""
+        for x, y, v in it:
+            acc[0] += int(np.sum(v))
+            yield x, y, v
+
     if want("resident"):
         data = DeviceDataset.from_numpy(images, masks)
         epochs_fn = make_train_epochs_fn(
@@ -120,37 +128,37 @@ def main(only: str | None = None) -> None:
         state = fresh_state()
         for tag, n_ep in (("warmup", 1), ("timed", 2)):
             t0 = time.perf_counter()
-            n_img = 0
+            n_img = [0]
             for e in range(n_ep):
                 it = prefetch_to_device(
-                    batch_iterator(host, BATCH, shuffle=True, seed=e), size=4)
+                    counting(batch_iterator(host, BATCH, shuffle=True, seed=e),
+                             n_img), size=4)
                 for x, y, v in it:
                     state, out = step(state, x, y, v)
-                    n_img += BATCH
             _ = float(out["n"])  # sync (tunnel ignores block_until_ready)
             dt = time.perf_counter() - t0
             if tag == "timed":
-                record("stream-step", n_img, dt, n_ep)
+                record("stream-step", n_img[0], dt, n_ep)
 
     if want("stream-chunk"):
         chunk_fn = make_train_chunk_fn(model, cfg)
         state = fresh_state()
         for tag, n_ep in (("warmup", 1), ("timed", 4)):
             t0 = time.perf_counter()
-            n_img = 0
+            n_img = [0]
             for e in range(n_ep):
                 it = prefetch_to_device(
                     chunk_batches(
-                        batch_iterator(host, BATCH, shuffle=True, seed=e),
+                        counting(batch_iterator(host, BATCH, shuffle=True,
+                                                seed=e), n_img),
                         CHUNK_K),
                     size=2)
                 for xs, ys, vs in it:
                     state, outs = chunk_fn(state, xs, ys, vs)
-                    n_img += int(xs.shape[0]) * BATCH
             _ = float(jax.tree_util.tree_leaves(outs)[0].ravel()[0])
             dt = time.perf_counter() - t0
             if tag == "timed":
-                record(f"stream-chunk-{CHUNK_K}", n_img, dt, n_ep)
+                record(f"stream-chunk-{CHUNK_K}", n_img[0], dt, n_ep)
 
     out = REPO / "artifacts" / "stream_train.json"
     out.parent.mkdir(exist_ok=True)
