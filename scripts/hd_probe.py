@@ -203,7 +203,10 @@ def retrain() -> None:
 
         @jax.jit
         def fwd(p, x):
-            return model.apply({"params": p}, x, deterministic=True)
+            # create_train_state stores the FULL variables dict (incl. the
+            # top-level "params" layer), and load_params restores against
+            # that template — pass it straight through.
+            return model.apply(p, x, deterministic=True)
 
         test = datasets["in_dist"]
         probs = np.asarray(fwd(params, test.images))
@@ -265,32 +268,40 @@ def report() -> None:
         f"  the reference's cv2 pipeline measures {lec['hd_ref_cv2']:.1f} —",
         "  the two implementations agree that the *mask* is the problem.",
         "- **It is an init-family trajectory difference at a chaotic",
-        "  budget — and the collapsed model is an INVERTED segmentation.**",
+        "  budget — the collapsed model is a near-EMPTY segmentation.**",
         "  Retraining the shared S2 Stage-I baseline at the exact S2",
         "  budget (8 epochs, patience 4, seed 42, 10% data) with the",
         "  framework's default `lecun_normal`/zero-bias init reproduces",
         f"  the committed collapse (retrained in-dist Dice",
         f"  {rep['retrained_dice_mean']:.4f} / HD {rep['retrained_hd_mean']:.1f}",
         f"  vs committed {rep['committed_dice_mean']:.4f} / {rep['committed_hd_mean']:.1f}):",
-        f"  Dice vs the ground truth is {lec['dice']:.4f} while Dice vs the",
-        f"  **complement** of the ground truth is {lec['dice_inverted']:.4f},",
-        f"  the prediction covers {lec['pred_area_frac']:.0%} of the image",
-        f"  ({lec['border_pixels']:.0f} border-ring pixels per image — the",
-        "  stray geometry behind HD≈99; BF1 stays 0.95 because the",
-        "  complement's inner boundary hugs the true boundary).  The same",
-        "  retrain with `param_init='torch'` (the reference's",
-        f"  kaiming-uniform family) does NOT collapse: Dice {tor['dice']:.3f},",
-        f"  inverted-Dice {tor['dice_inverted']:.3f}, HD {tor['hd_ours']:.1f}.",
+        f"  the thresholded prediction covers {lec['pred_area_frac']:.2%} of",
+        f"  the image — ~{lec['pred_area_frac'] * 128 * 128:.0f} stray pixels in",
+        f"  {lec['n_components']:.0f} scattered components,",
+        f"  {lec['border_pixels']:.0f} of them on the image border (the stray",
+        "  geometry behind HD≈99) — and it is NOT an inversion: Dice vs",
+        f"  the ground truth is {lec['dice']:.4f} and Dice vs its complement",
+        f"  only {lec['dice_inverted']:.4f}.  The same retrain with",
+        "  `param_init='torch'` (the reference's kaiming-uniform family)",
+        f"  does NOT collapse: Dice {tor['dice']:.3f}, HD {tor['hd_ours']:.1f}.",
         "",
         "Mechanism: the zero-bias lecun start outputs sigmoid≈0.5",
-        "everywhere → an empty thresholded prediction (epoch-1 val Dice",
-        f"0.0005), and at this 8-epoch budget the Dice+BCE landscape lets",
-        "the trajectory descend into the complement basin (val Dice",
+        "everywhere → an empty thresholded prediction, and at this",
+        "8-epoch budget the trajectory transiently finds the cells then",
+        "falls back into the near-empty basin (val Dice",
         f"{ours_traj} over epochs); torch's uniform-bias start predicts",
-        f"all-positive (epoch-1 val Dice 0.196 = the all-ones value) and",
-        f"climbs monotonically ({ref_traj}).  Both basins have nearly the",
-        "same short-budget loss; only the long-budget behaviour",
-        "distinguishes them.",
+        "all-positive (epoch-1 val Dice ≈ the all-ones value) and climbs",
+        f"monotonically ({ref_traj}).",
+        "",
+        "Why the committed collapsed rows still show BF1 ≈ 0.95: with a",
+        "near-empty prediction both boundary precision and recall are",
+        "≈0, far below the reference's smoothing constant, and its F1",
+        "formula (`/root/reference/src/evaluate.py:184`) degenerates to",
+        "F1 ≈ s/(P+R+s) ≈ 0.95 — measured identically in both",
+        "implementations (ours replicates the formula by design; probe",
+        "check: speckles-vs-disk scores 0.9465 ours / 0.9444 cv2 with",
+        "P=R=0).  High BF1 on a collapsed mask is a smoothing artifact",
+        "of the metric, not boundary agreement.",
         "",
         "**Validity boundary, measured:** the gap is a budget artifact,",
         "not a framework defect — at the reference's own contract budget",
