@@ -93,8 +93,11 @@ REF_DRIVER = textwrap.dedent(
     from run_ablation import define_ablation_r3
     from src.ablation import run_ablation_study
 
+    configs = define_ablation_r3()
+    for c in configs:                      # multi-seed: AblationConfig.seed
+        c.seed = {seed}                    # (/root/reference/src/ablation.py:46)
     run_ablation_study(
-        'R3', define_ablation_r3(),
+        'R3', configs,
         train_dir='{train_dir}',
         train_json='{train_json}',
         val_dir='{val_dir}',
@@ -109,10 +112,14 @@ REF_DRIVER = textwrap.dedent(
         early_stopping_patience={early_stopping_patience},
     )
     """
-).format(**_DIRS, **HP)
+)
 
 
-def run_reference() -> None:
+def run_reference(seed: int = 42) -> None:
+    out = ART / ("reference" if seed == 42 else f"reference_seed{seed}")
+    if any(out.glob("ablation_R3_*.json")):
+        print(f"reference seed={seed}: already done ({out}), skipping")
+        return
     if REF_RUN.exists():
         shutil.rmtree(REF_RUN)
     shutil.copytree("/root/reference", REF_RUN)
@@ -122,12 +129,12 @@ def run_reference() -> None:
     target.symlink_to(DATA_ROOT / "images")
     env = dict(os.environ)
     env.update(OMP_NUM_THREADS="1", MKL_NUM_THREADS="1", PYTHONUNBUFFERED="1")
-    (REF_RUN / "_parity_driver.py").write_text(REF_DRIVER)
-    print("reference R3 study starting (CPU)...", flush=True)
+    (REF_RUN / "_parity_driver.py").write_text(
+        REF_DRIVER.format(seed=seed, **_DIRS, **HP))
+    print(f"reference R3 study starting (CPU, seed={seed})...", flush=True)
     subprocess.run(
         [sys.executable, "_parity_driver.py"], cwd=REF_RUN, env=env, check=True
     )
-    out = ART / "reference"
     if out.exists():
         shutil.rmtree(out)
     out.mkdir(parents=True)
@@ -140,7 +147,7 @@ def run_reference() -> None:
     print(f"reference artifacts -> {out}")
 
 
-def run_ours(param_init: str = "lecun") -> None:
+def run_ours(param_init: str = "lecun", seed: int = 42) -> None:
     from physics_informed_image_segmentation_tpu.experiments import (
         run_ablation_study,
     )
@@ -150,10 +157,12 @@ def run_ours(param_init: str = "lecun") -> None:
 
     img = DATA_ROOT / "images"
     ann = img / "annotation"
-    out = ART / ("ours" if param_init == "lecun" else f"ours_{param_init}")
+    base = "ours" if param_init == "lecun" else f"ours_{param_init}"
+    out = ART / (base if seed == 42 else f"{base}_seed{seed}")
     variants = define_ablation_r3()
     for v in variants:
         v.param_init = param_init
+        v.seed = seed
     kwargs = dict(
         train_dir=img / "training",
         train_json=ann / "training_annotation.json",
@@ -328,12 +337,130 @@ def report() -> None:
     print((REPO / "PARITY_R3.md").read_text())
 
 
+def pooled_report(seeds: list[int]) -> None:
+    """Append the multi-seed pooled section (VERDICT r4 item 7).
+
+    Pools each engine's R3 study across ``seeds``: per-variant
+    across-seed mean±std of the Stage-II aggregated test metrics,
+    per-seed and pooled best variants, and per-seed verdict-agreement
+    tallies vs the reference at the same seed.
+    """
+    from parity_ablation import _METRICS, _SHORT, _load_study
+
+    def seed_dir(base: str, s: int) -> Path:
+        return ART / (base if s == 42 else f"{base}_seed{s}")
+
+    engines = []
+    for label, base in (("reference", "reference"), ("ours", "ours"),
+                        ("ours (torch init)", "ours_torch")):
+        per_seed = {}
+        for s in seeds:
+            try:
+                per_seed[s] = _load_study(seed_dir(base, s), study="R3")
+            except FileNotFoundError:
+                pass
+        if per_seed:
+            engines.append((label, per_seed))
+    ref_seeds = dict(engines)[("reference")]
+    names = [v["name"] for v in next(iter(ref_seeds.values()))["variants"]]
+
+    def dice_mean(study, vname):
+        return study["aggregated_results_in_dist"][vname]["dice_scores"]["mean"]
+
+    def best(study):
+        return max(names, key=lambda v: dice_mean(study, v))
+
+    import statistics
+
+    lines = [
+        "",
+        f"## Multi-seed pooled R3 (seeds {sorted(ref_seeds)})",
+        "",
+        "Same study, same budget, re-run end-to-end per seed in every",
+        "engine (`scripts/parity_r3.py reference/ours --seed S`; the seed",
+        "enters each engine's own `AblationConfig.seed`, reseeding model",
+        "init, data order and the fraction subset draw).  Pooled cells are",
+        "across-seed mean ± std of the Stage-II aggregated in-dist test",
+        "metrics:",
+        "",
+        "| variant | metric | " + " | ".join(lb for lb, _ in engines) + " |",
+        "|---" * (2 + len(engines)) + "|",
+    ]
+    for vname in names:
+        first = True
+        for m in _METRICS:
+            cells = []
+            for _, per_seed in engines:
+                vals = [st["aggregated_results_in_dist"][vname][m]["mean"]
+                        for st in per_seed.values()]
+                mu = statistics.fmean(vals)
+                sd = statistics.stdev(vals) if len(vals) > 1 else 0.0
+                cells.append(f"{mu:.4f} ± {sd:.4f}")
+            lines.append(f"| {vname if first else ''} | {_SHORT[m]} | "
+                         + " | ".join(cells) + " |")
+            first = False
+
+    lines += ["", "### Best variant (Stage-II in-dist Dice)", ""]
+    for label, per_seed in engines:
+        per = {s: best(st) for s, st in sorted(per_seed.items())}
+        pooled = max(names, key=lambda v: statistics.fmean(
+            dice_mean(st, v) for st in per_seed.values()))
+        lines.append(f"- **{label}**: pooled best `{pooled}`; per-seed "
+                     + ", ".join(f"seed{s} → `{b}`" for s, b in per.items())
+                     + ".")
+
+    lines += ["", "### Per-seed verdict agreement vs the reference", ""]
+    for label, per_seed in engines:
+        if label == "reference":
+            continue
+        for s in sorted(per_seed):
+            if s not in ref_seeds:
+                continue
+            by_ref = {r["config"]["name"]: r
+                      for r in ref_seeds[s]["results"]}
+            by_ours = {r["config"]["name"]: r
+                       for r in per_seed[s]["results"]}
+            n = hit = pn = phit = 0
+            for vname in names:
+                for dist in ("in_dist", "out_dist"):
+                    for m in _METRICS:
+                        cr = ((by_ref[vname].get("stage_comparison") or {})
+                              .get(dist) or {}).get(m)
+                        co = ((by_ours[vname].get("stage_comparison") or {})
+                              .get(dist) or {}).get(m)
+                        if not (cr and co):
+                            continue
+                        n += 1
+                        same = cr["significant"] == co["significant"]
+                        hit += same
+                        if m in ("dice_scores", "iou_scores"):
+                            pn += 1
+                            phit += same
+            lines.append(f"- {label}, seed {s}: **{hit}/{n}** verdicts "
+                         f"agree ({phit}/{pn} on the primary Dice/IoU "
+                         "cells).")
+    lines.append("")
+
+    path = REPO / "PARITY_R3.md"
+    text = path.read_text()
+    marker = "\n## Multi-seed pooled R3"
+    if marker in text:
+        text = text[: text.index(marker)]
+    path.write_text(text.rstrip("\n") + "\n" + "\n".join(lines))
+    print("\n".join(lines))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     param_init = "lecun"
+    seed = 42
     if "--param-init" in args:
         i = args.index("--param-init")
         param_init = args[i + 1]
+        del args[i:i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
         del args[i:i + 2]
     if args and args[0] == "ours":
         import jax
@@ -346,6 +473,12 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     step = args[0] if args else "report"
     if step == "ours":
-        run_ours(param_init)
+        run_ours(param_init, seed)
+    elif step == "reference":
+        run_reference(seed)
+    elif step == "pooled-report":
+        seeds = [int(s) for s in
+                 os.environ.get("R3_SEEDS", "42,7,123").split(",")]
+        pooled_report(seeds)
     else:
-        {"data": make_data, "reference": run_reference, "report": report}[step]()
+        {"data": make_data, "report": report}[step]()
