@@ -235,8 +235,47 @@ def report() -> None:
     ] + [f"| {k} | {v:.1f} s |" for k, v in sorted(wall.items())] + [
         "",
         f"Variants per study: {n_var}.",
-        "Raw scrubbed aggregates: `artifacts/ablation_burnin/`.",
     ]
+
+    # Per-study serial durations, derived from the timestamped study
+    # directory names of run A (each study starts when its dir is
+    # created; the last is bounded by the run-A total).
+    import datetime
+
+    def _dir_times(run_dir: Path) -> list[tuple[str, datetime.datetime]]:
+        out = []
+        for d in sorted((run_dir / "output" / "ablation").iterdir()):
+            study, ts = d.name.split("_", 1)
+            out.append(
+                (study, datetime.datetime.strptime(ts, "%Y%m%d_%H%M%S")))
+        return out
+
+    times = _dir_times(WORK / "run_a")
+    if times:
+        durs = {}
+        for (s, t0), (_, t1) in zip(times, times[1:]):
+            durs[s] = (t1 - t0).total_seconds()
+        total_serial = wall.get("run_a_serial_all")
+        if total_serial is not None:
+            done = (times[-1][1] - times[0][1]).total_seconds()
+            durs[times[-1][0]] = max(total_serial - done, 0.0)
+        lines += [
+            "",
+            "Serial per-study durations within run A (from the study "
+            "dirs' timestamped names): "
+            + ", ".join(f"{s} {d:.0f}s" for s, d in durs.items()) + ".",
+            "",
+            "Wall-clock caveat: at this deliberately tiny 3+3-epoch "
+            "burn-in budget every number is COMPILE-dominated, not "
+            "step-dominated — run A's R1 includes the cold-cache XLA "
+            "compiles, run B re-runs warm, and each `--batched` S-study "
+            "pays a fresh vmapped-program compile that its serial "
+            "counterpart amortised earlier in the same process.  The "
+            "serial-vs-batched throughput comparison at a real budget "
+            "is in BASELINE.md (sweep engine rows); this table only "
+            "documents that the full `--ablation all` surface and its "
+            "crash/resume path execute end-to-end on hardware.",
+        ]
     (ART / "REPORT.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     assert not mismatches, f"aggregate mismatch: {mismatches}"
