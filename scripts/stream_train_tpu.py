@@ -108,13 +108,22 @@ def main(only: str | None = None) -> None:
         data = DeviceDataset.from_numpy(images, masks)
         epochs_fn = make_train_epochs_fn(
             model, cfg, compute_metrics=True, param_carry_dtype=jnp.bfloat16)
-        for tag, n_ep in (("warmup", 1), ("timed", 4)):
+        # Measurement rules learned the hard way (round 5):
+        # 1. warmup MUST use the same epoch count — the stacked index
+        #    plan's leading dim is a traced shape, so a different-shape
+        #    warmup leaves the timed program uncompiled;
+        # 2. the state must be created ONCE and threaded warmup->timed
+        #    (as bench.py does): `create_train_state` executes eagerly,
+        #    which on the axon tunnel costs ~13.6 s of per-op RTTs that
+        #    async dispatch otherwise hides inside the timed window
+        #    (measured: the 4-epoch program itself runs in ~1.7 s).
+        state = fresh_state()
+        for tag, n_ep in (("warmup", 4), ("timed", 4)):
             plans = [epoch_batch_indices(data.n, BATCH, shuffle=True,
                                          key=jax.random.key(e))
                      for e in range(n_ep)]
             idx = jnp.stack([p[0] for p in plans])
             valid = jnp.stack([p[1] for p in plans])
-            state = fresh_state()
             t0 = time.perf_counter()
             state, metrics = epochs_fn(state, data.images, data.masks,
                                        idx, valid)
