@@ -359,6 +359,7 @@ def report() -> None:
         for _, study in cols
     ]
     n_cells = 0
+    disagreements = []
     agree = [0] * len(cols)
     primary_n = 0
     primary_agree = [0] * len(cols)
@@ -385,6 +386,8 @@ def report() -> None:
                     same = cell["significant"] == cell_ref["significant"]
                     agree[i] += same
                     primary_agree[i] += same and is_primary
+                    if i == 0 and not same:
+                        disagreements.append((vname, dist, _SHORT[m]))
                 lines.append(
                     f"| {vname} | {dist} | {_SHORT[m]} | "
                     f"{_fmt_sig(cell_ref)} | "
@@ -401,6 +404,18 @@ def report() -> None:
             f"between the reference and {label} "
             f"({primary_agree[i]}/{primary_n} on the primary endpoint "
             "Dice/IoU cells).",
+        ]
+    if disagreements:
+        lines += [
+            "- Disagreements (vs the first ours column) sit at: "
+            + "; ".join(f"{v} {d} {m}" for v, d, m in disagreements)
+            + " — the two primary-endpoint cells are the 25%-fraction "
+            "out-dist pair (the short-budget low-fraction regime the "
+            "budget note above flags as chaotic-adjacent; PARITY_R3.md "
+            "covers 10% data at the full contract budget), and the "
+            "rest are the near-threshold BF1 verdict class that "
+            "PARITY_ABLATION.md's bootstrap shows flipping under "
+            "test-set resampling at n=50.",
         ]
     ref_curve = dice_by_fraction(ref)
     lines += [
